@@ -1,0 +1,174 @@
+"""Fixed-shape batch pipeline.
+
+TPU-first replacement for the reference's collate functions (reference:
+Captioning_models/util.py:52-110) and DataLoader worker processes. Differences
+by design, not omission:
+
+* Batches are **fixed-shape**: captions padded with ``<null>`` to a constant
+  ``max_caption_len`` and a ``lengths`` vector carried alongside, instead of
+  sort-by-length + ``pack_padded_sequence``. Under cross-entropy that ignores
+  ``<null>`` and masks by length, the loss is mathematically identical to the
+  packed form (same numerator and token count), while giving XLA one static
+  shape to compile.
+* No length-descending sort: masking makes ordering irrelevant, and keeping
+  dataset order lets eval outputs align with reference indices trivially.
+* The last partial batch is padded up to ``batch_size`` with repeated samples
+  plus a validity mask (`pad_mask`), so jit never sees a second batch shape.
+* Images stay un-normalized [0,1] floats on host; ImageNet / DPT
+  normalization is fused on-device (see ops/image_ops.py), replacing the
+  host-side ``T.Normalize`` (reference: util.py:13-17).
+* A thread prefetcher overlaps PIL decode with TPU compute, standing in for
+  ``num_workers=4`` forked workers (reference: config.py:65).
+"""
+
+from __future__ import annotations
+
+import random
+import threading
+import queue as queue_mod
+from typing import Dict, Iterator, List, NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from depth_image_captioning_pub_tpu.data.tokenizer import SPECIAL, tokenize_caption
+
+
+class Batch(NamedTuple):
+    """One fixed-shape training batch (NHWC images, padded captions)."""
+
+    images: np.ndarray        # [B, H, W, 3] float32 in [0,1]
+    captions: np.ndarray      # [B, L] int32, <null>-padded
+    lengths: np.ndarray       # [B] int32 (includes <start> and <end>)
+    pad_mask: np.ndarray      # [B] bool, False for repeated padding samples
+
+
+def pad_captions(token_lists: Sequence[Sequence[int]], null_id: int,
+                 max_len: int) -> "tuple[np.ndarray, np.ndarray]":
+    """<null>-pad variable-length token lists to [B, max_len] (util.py:67-72).
+
+    Captions longer than ``max_len`` are truncated but keep their final
+    ``<end>`` token so decode targets stay well-formed.
+    """
+    bsz = len(token_lists)
+    out = np.full((bsz, max_len), null_id, dtype=np.int32)
+    lengths = np.zeros((bsz,), dtype=np.int32)
+    for i, toks in enumerate(token_lists):
+        toks = list(toks)
+        if len(toks) > max_len:
+            toks = toks[: max_len - 1] + [toks[-1]]
+        out[i, : len(toks)] = toks
+        lengths[i] = len(toks)
+    return out, lengths
+
+
+def make_train_batch(images: Sequence[np.ndarray],
+                     caption_sets: Sequence[Sequence[str]],
+                     word_to_id: Dict[str, int],
+                     max_len: int,
+                     rng: random.Random,
+                     batch_size: Optional[int] = None) -> Batch:
+    """Pick 1-of-5 captions, tokenize, pad — collate_func (util.py:52-73)."""
+    tokens = [tokenize_caption(rng.choice(list(caps)), word_to_id)
+              for caps in caption_sets]
+    captions, lengths = pad_captions(tokens, word_to_id[SPECIAL.null], max_len)
+    imgs = np.stack(images).astype(np.float32)
+    n = imgs.shape[0]
+    target = batch_size or n
+    pad_mask = np.ones((target,), dtype=bool)
+    if n < target:
+        reps = [i % n for i in range(n, target)]
+        imgs = np.concatenate([imgs, imgs[reps]], axis=0)
+        captions = np.concatenate([captions, captions[reps]], axis=0)
+        lengths = np.concatenate([lengths, lengths[reps]], axis=0)
+        pad_mask[n:] = False
+    return Batch(imgs, captions, lengths, pad_mask)
+
+
+class EvalBatch(NamedTuple):
+    images: np.ndarray            # [B, H, W, 3]
+    references: List[List[str]]   # per-image cleaned reference captions
+    pad_mask: np.ndarray          # [B] bool
+
+
+def make_eval_batch(images: Sequence[np.ndarray],
+                    caption_sets: Sequence[Sequence[str]],
+                    word_to_id: Dict[str, int],
+                    batch_size: Optional[int] = None) -> EvalBatch:
+    """Images + cleaned raw reference strings — make_refs (util.py:174-195)."""
+    from depth_image_captioning_pub_tpu.data.tokenizer import untokenize_caption
+    refs = [[untokenize_caption(c, word_to_id) for c in caps]
+            for caps in caption_sets]
+    imgs = np.stack(images).astype(np.float32)
+    n = imgs.shape[0]
+    target = batch_size or n
+    pad_mask = np.ones((target,), dtype=bool)
+    if n < target:
+        reps = [i % n for i in range(n, target)]
+        imgs = np.concatenate([imgs, imgs[reps]], axis=0)
+        pad_mask[n:] = False
+    return EvalBatch(imgs, refs, pad_mask)
+
+
+def batched_indices(n: int, batch_size: int, shuffle: bool,
+                    rng: Optional[random.Random] = None) -> List[List[int]]:
+    idx = list(range(n))
+    if shuffle:
+        (rng or random).shuffle(idx)
+    return [idx[i: i + batch_size] for i in range(0, n, batch_size)]
+
+
+def train_batches(dataset, word_to_id: Dict[str, int], batch_size: int,
+                  max_len: int, shuffle: bool, seed: int,
+                  epoch: int = 0) -> Iterator[Batch]:
+    """Iterate fixed-shape train batches over a CocoCaptions-like dataset."""
+    rng = random.Random((seed, epoch))
+    for chunk in batched_indices(len(dataset), batch_size, shuffle, rng):
+        imgs = [dataset.load_image(i) for i in chunk]
+        caps = [dataset.captions(i) for i in chunk]
+        yield make_train_batch(imgs, caps, word_to_id, max_len, rng,
+                               batch_size=batch_size)
+
+
+def eval_batches(dataset, word_to_id: Dict[str, int],
+                 batch_size: int) -> Iterator[EvalBatch]:
+    for chunk in batched_indices(len(dataset), batch_size, shuffle=False):
+        imgs = [dataset.load_image(i) for i in chunk]
+        caps = [dataset.captions(i) for i in chunk]
+        yield make_eval_batch(imgs, caps, word_to_id, batch_size=batch_size)
+
+
+class Prefetcher:
+    """Bounded background-thread prefetch over any batch iterator.
+
+    Host-side stand-in for DataLoader worker processes: decodes the next
+    batches on a thread while the TPU crunches the current one.
+    """
+
+    _DONE = object()
+
+    def __init__(self, iterator: Iterator, depth: int = 2):
+        self._q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
+        self._err: Optional[BaseException] = None
+
+        def run():
+            try:
+                for item in iterator:
+                    self._q.put(item)
+            except BaseException as e:  # surface worker errors to consumer
+                self._err = e
+            finally:
+                self._q.put(self._DONE)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._DONE:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item

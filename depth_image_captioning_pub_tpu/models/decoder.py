@@ -1,0 +1,238 @@
+"""Unified attention LSTM caption decoder.
+
+One module replaces six copy-pasted reference classes —
+``RNNDecoderWithSoftAttention`` / ``RNNDecoderWithHardAttention``
+(reference: base_caption_models.py:49-508) and the four ``CD_``/``MD_``
+depth variants (reference: depth_models.py:96-1009) — because the reference's
+own code differs only in two choices:
+
+* ``attention_kind``: "soft" (softmax alpha) vs "hard" (Gumbel-softmax at
+  train, Gumbel-max one-hot at eval/sample);
+* ``fusion``: how depth annotation vectors join RGB ones — "none",
+  "add" (CD_*: ``features.add(depth_features)``, depth_models.py:163) or
+  "concat" (MD_*: channel concat to 2048+32, depth_models.py:376).
+
+TPU re-design vs the reference's per-timestep Python loop with a shrinking
+active batch (base_caption_models.py:128-150):
+
+* the whole time axis is ONE ``lax.scan`` over fixed shapes; padding steps
+  compute harmlessly and are masked in the loss — mathematically identical
+  to the packed-sequence form under <null>-ignoring cross-entropy;
+* the encoder-side attention projection is hoisted out of the scan
+  (see ops/attention.py) — the reference recomputes it every step;
+* greedy sampling is the same scan with the argmax fed back, instead of a
+  per-step GPU->CPU sync (base_caption_models.py:243-244).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from depth_image_captioning_pub_tpu.models.initializers import (
+    torch_bias, torch_linear_kernel, uniform_pm)
+from depth_image_captioning_pub_tpu.ops.attention import (
+    AttentionParams, gumbel_max_attention, gumbel_softmax_attention,
+    project_features, soft_attention)
+from depth_image_captioning_pub_tpu.ops.lstm import LSTMCellParams, lstm_cell
+
+Dtype = Any
+
+
+class DecoderState(NamedTuple):
+    h: jax.Array  # [B, H]
+    c: jax.Array  # [B, H]
+
+
+class AttentionDecoder(nn.Module):
+    """Soft/hard-attention LSTM decoder with optional depth fusion."""
+
+    vocab_size: int
+    dim_attention: int = 128
+    dim_embedding: int = 128
+    dim_encoder: int = 2048      # RGB annotation channels
+    dim_decoder: int = 128
+    attention_kind: str = "soft"            # "soft" | "hard"
+    fusion: str = "none"                    # "none" | "add" | "concat"
+    dim_depth: int = 32                     # depth channels for concat fusion
+    dropout: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @property
+    def dim_enc_eff(self) -> int:
+        """Effective annotation dim after fusion (2080 for concat,
+        reference: config.py:19 mlp_dim_encoder)."""
+        return self.dim_encoder + (self.dim_depth if self.fusion == "concat" else 0)
+
+    def setup(self):
+        d_enc, d_att, d_dec = self.dim_enc_eff, self.dim_attention, self.dim_decoder
+        d_emb, vocab = self.dim_embedding, self.vocab_size
+        p, b = torch_linear_kernel, torch_bias
+        # Embedding + vocab head use the reference's explicit re-init
+        # (U(-0.1,0.1), zero head bias; base_caption_models.py:93-96).
+        self.embed = self.param("embed", uniform_pm(0.1), (vocab, d_emb))
+        self.att_w_enc = self.param("att_w_enc", p, (d_enc, d_att))
+        self.att_b_enc = self.param("att_b_enc", b(d_enc), (d_att,))
+        self.att_w_dec = self.param("att_w_dec", p, (d_dec, d_att))
+        self.att_b_dec = self.param("att_b_dec", b(d_dec), (d_att,))
+        self.att_w_full = self.param("att_w_full", p, (d_att, 1))
+        self.att_b_full = self.param("att_b_full", b(d_att), (1,))
+        self.lstm_w_ih = self.param("lstm_w_ih", p, (d_emb + d_enc, 4 * d_dec))
+        self.lstm_w_hh = self.param("lstm_w_hh", p, (d_dec, 4 * d_dec))
+        self.lstm_b_ih = self.param("lstm_b_ih", b(d_dec), (4 * d_dec,))
+        self.lstm_b_hh = self.param("lstm_b_hh", b(d_dec), (4 * d_dec,))
+        self.init_w = self.param("init_w", p, (d_enc, 2 * d_dec))
+        self.init_b = self.param("init_b", b(d_enc), (2 * d_dec,))
+        self.f_beta_w = self.param("f_beta_w", p, (d_dec, d_enc))
+        self.f_beta_b = self.param("f_beta_b", b(d_dec), (d_enc,))
+        self.out_w = self.param("out_w", uniform_pm(0.1), (d_dec, vocab))
+        self.out_b = self.param("out_b", nn.initializers.zeros, (vocab,))
+
+    # ---- parameter bundles ------------------------------------------------
+    def _att_params(self) -> AttentionParams:
+        return AttentionParams(self.att_w_enc, self.att_b_enc,
+                               self.att_w_dec, self.att_b_dec,
+                               self.att_w_full[:, 0], self.att_b_full[0])
+
+    def _lstm_params(self) -> LSTMCellParams:
+        return LSTMCellParams(self.lstm_w_ih, self.lstm_w_hh,
+                              self.lstm_b_ih, self.lstm_b_hh)
+
+    # ---- shared pieces ----------------------------------------------------
+    def fuse(self, features: jax.Array,
+             depth_features: Optional[jax.Array]) -> jax.Array:
+        """Join RGB and depth annotation vectors per the fusion mode."""
+        if self.fusion == "none" or depth_features is None:
+            return features
+        if self.fusion == "add":      # reference: depth_models.py:163
+            return features + depth_features
+        if self.fusion == "concat":   # reference: depth_models.py:376
+            return jnp.concatenate([features, depth_features], axis=-1)
+        raise ValueError(f"unknown fusion {self.fusion!r}")
+
+    def init_state(self, features: jax.Array) -> DecoderState:
+        """h0,c0 from Linear(mean(features)) chunked in two
+        (reference: base_caption_models.py:115-117)."""
+        mean = features.mean(axis=1)
+        hc = mean @ self.init_w + self.init_b
+        h, c = jnp.split(hc, 2, axis=-1)
+        return DecoderState(h, c)
+
+    def _attend(self, features, features_proj, h, *, train: bool,
+                temp, key):
+        ap = self._att_params()
+        if self.attention_kind == "soft":
+            return soft_attention(ap, features, features_proj, h)
+        if train:
+            return gumbel_softmax_attention(ap, features, features_proj, h,
+                                            temp, key)
+        return gumbel_max_attention(ap, features, features_proj, h, key)
+
+    def _step(self, state: DecoderState, emb_t: jax.Array, features,
+              features_proj, *, train: bool, temp, key,
+              dropout_key) -> Tuple[DecoderState, jax.Array, jax.Array]:
+        """One decode step: attention -> gated context -> LSTM -> logits."""
+        h, c = state
+        context, alpha = self._attend(features, features_proj, h,
+                                      train=train, temp=temp, key=key)
+        gate = jax.nn.sigmoid(h @ self.f_beta_w + self.f_beta_b)
+        x = jnp.concatenate([emb_t, gate * context], axis=-1)
+        h, c = lstm_cell(self._lstm_params(), x, h, c)
+        out = h
+        if train and self.dropout > 0.0:
+            keep = jax.random.bernoulli(dropout_key, 1.0 - self.dropout,
+                                        out.shape)
+            out = jnp.where(keep, out / (1.0 - self.dropout), 0.0)
+        logits = out @ self.out_w + self.out_b
+        return DecoderState(h, c), logits, alpha
+
+    # ---- teacher-forced forward (train / val loss) -------------------------
+    def __call__(self, features: jax.Array, captions: jax.Array,
+                 depth_features: Optional[jax.Array] = None, *,
+                 train: bool = False,
+                 temp: jax.Array | float = 1.0,
+                 hard_eval_sampling: bool = False,
+                 rng: Optional[jax.Array] = None
+                 ) -> Tuple[jax.Array, jax.Array]:
+        """Teacher forcing over the full padded caption.
+
+        Returns (logits [B, L-1, vocab], alphas [B, L-1, K]). Step t predicts
+        captions[:, t+1] from captions[:, t] — identical targets to the
+        reference's packed form (base_caption_models.py:128-156); masking is
+        the loss's job (engine/losses.py).
+
+        ``hard_eval_sampling`` selects the Gumbel-max one-hot attention used
+        by the reference's hard-attention validation pass (``eval_forward``,
+        base_caption_models.py:365-414).
+        """
+        features = self.fuse(features, depth_features).astype(self.dtype)
+        features_proj = project_features(self._att_params(), features)
+        state = self.init_state(features)
+        emb = jnp.take(self.embed, captions, axis=0)      # [B, L, E]
+        emb_steps = jnp.swapaxes(emb[:, :-1, :], 0, 1)    # [L-1, B, E]
+        needs_rng = train or self.attention_kind == "hard"
+        if rng is None:
+            if needs_rng:
+                raise ValueError("rng required for dropout/hard attention")
+            rng = jax.random.PRNGKey(0)
+        temp = jnp.asarray(temp, dtype=jnp.float32)
+        stochastic_attn = train and not hard_eval_sampling
+
+        def step(carry, xs):
+            state = carry
+            t, emb_t = xs
+            key = jax.random.fold_in(rng, t)
+            akey, dkey = jax.random.split(key)
+            state, logits, alpha = self._step(
+                state, emb_t, features, features_proj,
+                train=stochastic_attn, temp=temp, key=akey, dropout_key=dkey)
+            # dropout also applies on the hard-eval path in the reference
+            # (eval_forward keeps self.dropout, but module.eval() disables it;
+            # we match eval semantics: no dropout unless train=True).
+            return state, (logits, alpha)
+
+        ts = jnp.arange(emb_steps.shape[0])
+        _, (logits, alphas) = jax.lax.scan(step, state, (ts, emb_steps))
+        return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(alphas, 0, 1)
+
+    # ---- greedy sampling (batch_sample / sample) ----------------------------
+    def greedy_sample(self, features: jax.Array, start_id: int,
+                      depth_features: Optional[jax.Array] = None, *,
+                      max_length: int = 30,
+                      rng: Optional[jax.Array] = None
+                      ) -> Tuple[jax.Array, jax.Array]:
+        """Batched greedy decode: one lax.scan, zero host syncs.
+
+        Returns (tokens [B, max_length] int32, alphas [B, max_length, K]).
+        Token-for-token equivalent of the reference's ``batch_sample``
+        (base_caption_models.py:206-250); its ``softmax`` before argmax is
+        monotone, so we argmax the logits directly.
+        """
+        features = self.fuse(features, depth_features).astype(self.dtype)
+        features_proj = project_features(self._att_params(), features)
+        state = self.init_state(features)
+        bsz = features.shape[0]
+        prev = jnp.full((bsz,), start_id, dtype=jnp.int32)
+        if rng is None:
+            if self.attention_kind == "hard":
+                raise ValueError("rng required for hard attention sampling")
+            rng = jax.random.PRNGKey(0)
+
+        def step(carry, t):
+            state, prev = carry
+            emb_t = jnp.take(self.embed, prev, axis=0)
+            key = jax.random.fold_in(rng, t)
+            state, logits, alpha = self._step(
+                state, emb_t, features, features_proj,
+                train=False, temp=jnp.float32(1.0), key=key,
+                dropout_key=key)
+            token = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+            token = token.astype(jnp.int32)
+            return (state, token), (token, alpha)
+
+        _, (tokens, alphas) = jax.lax.scan(
+            step, (state, prev), jnp.arange(max_length))
+        return jnp.swapaxes(tokens, 0, 1), jnp.swapaxes(alphas, 0, 1)

@@ -1,0 +1,100 @@
+"""NIC (Show and Tell) decoder.
+
+Re-design of ``NIC_RNNDecoder`` (reference: nic.py:61-175): word embedding,
+2-layer LSTM with the image embedding prepended as step 0, vocab head.
+The packed-sequence forward (nic.py:104-118) becomes one ``lax.scan`` over
+the fixed [B, L+1] rectangle with loss-side masking; greedy ``sample`` /
+``batch_sample`` (nic.py:126-175) become a single scan with the argmax fed
+back (note: the LSTM is primed by the image embedding, so step 0 usually
+predicts <start> — the reference's eval detokenizer skips <start> tokens,
+nic.py:438-439, and ours does the same).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from depth_image_captioning_pub_tpu.models.initializers import (
+    torch_bias, torch_linear_kernel, uniform_pm)
+from depth_image_captioning_pub_tpu.ops.lstm import (
+    LSTMCellParams, StackedLSTMParams, stacked_lstm, stacked_lstm_step)
+
+Dtype = Any
+
+
+class NICDecoder(nn.Module):
+    vocab_size: int
+    dim_embedding: int = 300
+    dim_hidden: int = 128
+    num_layers: int = 2
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        p, b = torch_linear_kernel, torch_bias
+        # torch nn.Embedding default init is N(0,1); the reference does NOT
+        # re-init NIC's embedding (no _reset_parameters in NIC_RNNDecoder).
+        self.embed = self.param("embed", nn.initializers.normal(1.0),
+                                (self.vocab_size, self.dim_embedding))
+        layers = []
+        for li in range(self.num_layers):
+            d_in = self.dim_embedding if li == 0 else self.dim_hidden
+            layers.append(LSTMCellParams(
+                self.param(f"lstm{li}_w_ih", p, (d_in, 4 * self.dim_hidden)),
+                self.param(f"lstm{li}_w_hh", p, (self.dim_hidden, 4 * self.dim_hidden)),
+                # torch nn.LSTM biases use bound 1/sqrt(hidden)
+                self.param(f"lstm{li}_b_ih", b(self.dim_hidden), (4 * self.dim_hidden,)),
+                self.param(f"lstm{li}_b_hh", b(self.dim_hidden), (4 * self.dim_hidden,)),
+            ))
+        self.lstm = StackedLSTMParams(tuple(layers))
+        self.out_w = self.param("out_w", p, (self.dim_hidden, self.vocab_size))
+        self.out_b = self.param("out_b", b(self.dim_hidden), (self.vocab_size,))
+
+    def _zero_state(self, bsz: int) -> Tuple[jax.Array, jax.Array]:
+        shape = (self.num_layers, bsz, self.dim_hidden)
+        z = jnp.zeros(shape, dtype=self.dtype)
+        return z, z
+
+    def __call__(self, features: jax.Array, captions: jax.Array, *,
+                 train: bool = False,
+                 rng: Optional[jax.Array] = None) -> jax.Array:
+        """Teacher forcing: returns logits [B, L, vocab].
+
+        Step 0 consumes the image embedding and predicts captions[:, 0]
+        (= <start>); step t>0 consumes captions[:, t-1] and predicts
+        captions[:, t] — the reference's packed loss over the image step
+        included (nic.py:102-118, :282-285).
+        """
+        emb = jnp.take(self.embed, captions[:, :-1], axis=0)
+        xs = jnp.concatenate([features[:, None, :].astype(emb.dtype), emb],
+                             axis=1)                       # [B, L, E]
+        h0, c0 = self._zero_state(xs.shape[0])
+        outs, _, _ = stacked_lstm(self.lstm, xs.astype(self.dtype), h0, c0)
+        if train and self.dropout > 0.0:
+            if rng is None:
+                raise ValueError("rng required for dropout")
+            keep = jax.random.bernoulli(rng, 1.0 - self.dropout, outs.shape)
+            outs = jnp.where(keep, outs / (1.0 - self.dropout), 0.0)
+        return outs @ self.out_w + self.out_b
+
+    def greedy_sample(self, features: jax.Array, *,
+                      max_length: int = 30) -> jax.Array:
+        """Batched greedy decode, one lax.scan (reference: nic.py:150-175)."""
+        bsz = features.shape[0]
+        h, c = self._zero_state(bsz)
+        x0 = features.astype(self.dtype)
+
+        def step(carry, _):
+            x, h, c = carry
+            out, h, c = stacked_lstm_step(self.lstm, x, h, c)
+            logits = out @ self.out_w + self.out_b
+            token = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+            nxt = jnp.take(self.embed, token, axis=0).astype(self.dtype)
+            return (nxt, h, c), token
+
+        _, tokens = jax.lax.scan(step, (x0, h, c), None, length=max_length)
+        return jnp.swapaxes(tokens, 0, 1)

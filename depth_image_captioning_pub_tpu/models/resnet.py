@@ -1,0 +1,135 @@
+"""ResNet in flax.linen (NHWC, bfloat16-friendly).
+
+The reference uses a frozen torchvision ResNet-152 (IMAGENET1K_V2) as the RGB
+backbone for every model (reference: base_caption_models.py:23, nic.py:33).
+This is a from-scratch NHWC implementation with torchvision's v1.5 block
+structure (stride on the 3x3 conv of each bottleneck) so the torch-checkpoint
+bridge (utils/torch_bridge.py) maps weights name-for-name; compute runs in
+bfloat16 on the MXU with float32 batch-norm statistics.
+
+The backbone is always frozen here (the reference never trains it:
+@torch.no_grad() at base_caption_models.py:36, nic.py:50) so BatchNorm always
+uses running averages — there is no train-mode BN path to carry.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from depth_image_captioning_pub_tpu.ops.pooling import (
+    adaptive_avg_pool2d, global_avg_pool, max_pool2d)
+
+Dtype = Any
+
+RESNET152_LAYERS = (3, 8, 36, 3)
+RESNET50_LAYERS = (3, 4, 6, 3)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride) -> 1x1(x4) bottleneck, torchvision v1.5 layout."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        def bn(name):
+            return nn.BatchNorm(use_running_average=True, momentum=0.9,
+                                epsilon=1e-5, dtype=self.dtype,
+                                param_dtype=jnp.float32, name=name)
+
+        identity = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="conv1")(x)
+        out = nn.relu(bn("bn1")(out))
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=1, use_bias=False, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="conv2")(out)
+        out = nn.relu(bn("bn2")(out))
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+                      dtype=self.dtype, param_dtype=jnp.float32,
+                      name="conv3")(out)
+        out = bn("bn3")(out)
+        if self.downsample:
+            identity = nn.Conv(self.planes * 4, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               param_dtype=jnp.float32, name="ds_conv")(x)
+            identity = bn("ds_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNetBackbone(nn.Module):
+    """Stem + 4 stages; returns the final [B, H/32, W/32, 2048] feature map."""
+
+    layers: Sequence[int] = RESNET152_LAYERS
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5,
+                         dtype=self.dtype, param_dtype=jnp.float32,
+                         name="bn1")(x)
+        x = nn.relu(x)
+        x = max_pool2d(x, window=3, stride=2, padding=1)
+        for stage, (blocks, planes) in enumerate(
+                zip(self.layers, (64, 128, 256, 512))):
+            for block in range(blocks):
+                stride = 2 if (stage > 0 and block == 0) else 1
+                x = Bottleneck(planes=planes, stride=stride,
+                               downsample=(block == 0), dtype=self.dtype,
+                               name=f"layer{stage + 1}_{block}")(x)
+        return x
+
+
+class AttentionGridEncoder(nn.Module):
+    """Frozen ResNet-152 -> 14x14 annotation grid [B, 196, 2048].
+
+    Re-design of CNNEncoder_Atten (reference: base_caption_models.py:13-45):
+    torchvision's CHW permute+flatten becomes a NHWC reshape; the replaced
+    ``AdaptiveAvgPool2d(14)`` (reference :26) is the exact-math pooling
+    matmul in ops/pooling.py (on 224^2 input, 7x7 -> 14x14 duplication).
+    """
+
+    enc_img_size: int = 14
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        x = ResNetBackbone(dtype=self.dtype, name="backbone")(images)
+        x = adaptive_avg_pool2d(x, self.enc_img_size)
+        b = x.shape[0]
+        return x.reshape(b, self.enc_img_size * self.enc_img_size, x.shape[-1])
+
+
+class NICEncoder(nn.Module):
+    """Frozen ResNet-152 GAP + trainable Linear(2048 -> dim_embedding).
+
+    Re-design of NIC_CNNEncoder (reference: nic.py:23-57). The linear layer
+    is the only trainable part (reference: nic.py:243-245); the train engine
+    partitions it out by its param path (``linear``).
+    """
+
+    dim_embedding: int = 300
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        x = ResNetBackbone(dtype=self.dtype, name="backbone")(images)
+        x = global_avg_pool(x)
+        from depth_image_captioning_pub_tpu.models.initializers import (
+            torch_bias, torch_linear_kernel)
+        x = nn.Dense(self.dim_embedding, dtype=self.dtype,
+                     param_dtype=jnp.float32,
+                     kernel_init=torch_linear_kernel,
+                     bias_init=torch_bias(x.shape[-1]), name="linear")(x)
+        return x
