@@ -1,0 +1,21 @@
+"""Self-contained caption metrics (BLEU / METEOR / ROUGE-L / CIDEr).
+
+The reference scores with pycocoevalcap (reference: Captioning_models/
+evaluate_metrix.py:27-32), which is not available in this environment (and
+its METEOR spawns a Java subprocess). This package reimplements the same
+corpus-level math in pure Python/NumPy:
+
+* BLEU-1..4 — pycocoevalcap bleu_scorer semantics: corpus totals, clipped
+  n-gram counts, 'closest' effective reference length, brevity penalty.
+* ROUGE-L — LCS F-measure, beta=1.2, max over references, mean over corpus.
+* CIDEr — pycocoevalcap cider_scorer: tf-idf n-gram vectors (n=1..4), df
+  from the evaluation references, Gaussian length penalty sigma=6, x10.
+* METEOR — pure-Python exact+Porter-stem alignment approximation of METEOR
+  1.5 (the Java original also uses WordNet synonyms/paraphrases, unavailable
+  offline); documented deviation, same [0,1] scale and parameters
+  (alpha=0.9, beta=3.0, gamma=0.5).
+
+All scorers are host-side (outside jit), as in the reference.
+"""
+
+from depth_image_captioning_pub_tpu.metrics.scorer import load_textfiles, score

@@ -102,10 +102,12 @@ class AttentionGridEncoder(nn.Module):
 
     enc_img_size: int = 14
     dtype: Dtype = jnp.bfloat16
+    layers: Sequence[int] = RESNET152_LAYERS
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
-        x = ResNetBackbone(dtype=self.dtype, name="backbone")(images)
+        x = ResNetBackbone(layers=self.layers, dtype=self.dtype,
+                           name="backbone")(images)
         x = adaptive_avg_pool2d(x, self.enc_img_size)
         b = x.shape[0]
         return x.reshape(b, self.enc_img_size * self.enc_img_size, x.shape[-1])

@@ -1,0 +1,64 @@
+"""Device mesh and sharding rules.
+
+The reference has no distributed layer at all — one process, one 'cuda:0'
+device (SURVEY.md §2.3; reference config.py:68). The TPU-native framework
+supplies data parallelism as a first-class feature: a 1-D mesh over the
+batch axis, with parameters replicated and batches sharded. Gradients are
+combined by XLA-inserted all-reduces over ICI when the jitted train step
+consumes sharded batches and produces replicated parameter updates — the
+idiomatic replacement for the NCCL all-reduce the reference never had.
+
+The models here are small (<=123M params frozen DPT; trainable decoders are
+<10M), so TP/PP/EP would only add latency; the scaling dimension that exists
+in this workload is the batch. Multi-host (DCN) extends the same mesh via
+``jax.distributed.initialize`` — the mesh helpers below are agnostic to it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              axis_name: str = DATA_AXIS) -> Mesh:
+    """1-D data mesh over all (or the given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch) dim across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
+    """Place a pytree of host arrays with the batch dim sharded over ICI."""
+    sh = batch_sharding(mesh, axis_name)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(x, replicated_sharding(mesh))
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params, opt state) on every mesh device."""
+    return jax.device_put(tree, replicated_sharding(mesh))
+
+
+def pad_batch_to_devices(batch_size: int, n_devices: int) -> int:
+    """Smallest multiple of n_devices >= batch_size (static shape per shard)."""
+    return -(-batch_size // n_devices) * n_devices
