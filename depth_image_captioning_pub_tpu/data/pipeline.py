@@ -119,22 +119,34 @@ def batched_indices(n: int, batch_size: int, shuffle: bool,
 
 def train_batches(dataset, word_to_id: Dict[str, int], batch_size: int,
                   max_len: int, shuffle: bool, seed: int,
-                  epoch: int = 0) -> Iterator[Batch]:
-    """Iterate fixed-shape train batches over a CocoCaptions-like dataset."""
-    rng = random.Random((seed, epoch))
-    for chunk in batched_indices(len(dataset), batch_size, shuffle, rng):
+                  epoch: int = 0,
+                  pad_to: Optional[int] = None,
+                  indices: Optional[Sequence[int]] = None) -> Iterator[Batch]:
+    """Iterate fixed-shape train batches over a CocoCaptions-like dataset.
+
+    ``pad_to`` rounds every batch up to a device-count multiple (sharded
+    batches need a static per-device shape); repeated rows are flagged False
+    in ``pad_mask`` and excluded from the loss.
+    """
+    rng = random.Random(seed * 100003 + epoch)
+    order = list(indices) if indices is not None else list(range(len(dataset)))
+    if shuffle:
+        rng.shuffle(order)
+    chunks = [order[i: i + batch_size] for i in range(0, len(order), batch_size)]
+    for chunk in chunks:
         imgs = [dataset.load_image(i) for i in chunk]
         caps = [dataset.captions(i) for i in chunk]
         yield make_train_batch(imgs, caps, word_to_id, max_len, rng,
-                               batch_size=batch_size)
+                               batch_size=pad_to or batch_size)
 
 
-def eval_batches(dataset, word_to_id: Dict[str, int],
-                 batch_size: int) -> Iterator[EvalBatch]:
+def eval_batches(dataset, word_to_id: Dict[str, int], batch_size: int,
+                 pad_to: Optional[int] = None) -> Iterator[EvalBatch]:
     for chunk in batched_indices(len(dataset), batch_size, shuffle=False):
         imgs = [dataset.load_image(i) for i in chunk]
         caps = [dataset.captions(i) for i in chunk]
-        yield make_eval_batch(imgs, caps, word_to_id, batch_size=batch_size)
+        yield make_eval_batch(imgs, caps, word_to_id,
+                              batch_size=pad_to or batch_size)
 
 
 class Prefetcher:

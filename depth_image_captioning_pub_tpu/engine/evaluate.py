@@ -1,0 +1,143 @@
+"""Evaluation: batched caption generation + metric scoring.
+
+Re-design of the reference's eval loops (Base_evaluation
+base_evaluation.py:23-168, Cdepth_evaluation depth_evaluation.py:26-194,
+evaluation_nic nic.py:360-455): load the frozen val-subset indices, generate
+a caption per image with greedy decode, detokenize, score with
+BLEU/METEOR/ROUGE-L/CIDEr over 3 checkpoint sets, pickle the score lists.
+
+The hot path is one jitted function per model: normalize -> frozen encoder ->
+(depth encoder) -> 30-step ``lax.scan`` greedy decode, entirely on-device.
+The reference instead synced argmax IDs to host *every step of every batch*
+(base_caption_models.py:243-244) — eliminating those 30 round-trips per
+batch is the main single-chip speedup lever (SURVEY.md §7 step 4).
+"""
+
+from __future__ import annotations
+
+import functools
+import pickle
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from depth_image_captioning_pub_tpu.config import ConfigEval
+from depth_image_captioning_pub_tpu.data.pipeline import Prefetcher, eval_batches
+from depth_image_captioning_pub_tpu.data.tokenizer import SPECIAL, ids_to_caption
+from depth_image_captioning_pub_tpu.metrics import load_textfiles, score
+from depth_image_captioning_pub_tpu.models.captioner import Captioner
+
+METRIC_KEYS = ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L",
+               "CIDEr")
+
+
+def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
+                    depth_fn: Optional[Callable] = None) -> Callable:
+    """Build the jitted end-to-end caption function for one model config.
+
+    Returns fn(frozen_encoder_vars, trainable_params, batch_stats, images,
+    rng) -> tokens [B, max_length] int32. ``depth_fn(images)`` (traced, on-
+    device) produces standardized [B,224,224,1] depth maps for depth kinds.
+    """
+    from depth_image_captioning_pub_tpu.ops.image_ops import imagenet_normalize
+
+    encoder_apply = cap.encoder_apply()
+    sample_apply = cap.sample_apply()
+    depth_encoder_apply = cap.depth_encoder_apply()
+
+    if cap.spec.is_nic:
+        @jax.jit
+        def caption_fn(frozen_enc, params, batch_stats, images, rng):
+            feats = encoder_apply(frozen_enc, params["enc_linear"],
+                                  imagenet_normalize(images))
+            return sample_apply(params["decoder"], feats,
+                                max_length=max_length)
+        return caption_fn
+
+    @jax.jit
+    def caption_fn(frozen_enc, params, batch_stats, images, rng):
+        feats = encoder_apply(frozen_enc, imagenet_normalize(images))
+        dep = None
+        if depth_encoder_apply is not None:
+            depth_maps = depth_fn(images)
+            dep, _ = depth_encoder_apply(params["depth_encoder"],
+                                         batch_stats, depth_maps,
+                                         train=False)
+        tokens, _ = sample_apply(params["decoder"], feats, start_id, dep,
+                                 max_length=max_length, rng=rng)
+        return tokens
+    return caption_fn
+
+
+def generate_captions(caption_fn: Callable, frozen_enc, params, batch_stats,
+                      dataset, word_to_id: Dict[str, int],
+                      id_to_word: Dict[int, str], batch_size: int,
+                      rng: Optional[jax.Array] = None,
+                      max_length: int = 30,
+                      prefetch: int = 3) -> Tuple[List[str], List[List[str]]]:
+    """Caption every image in ``dataset``; returns (hypotheses, references).
+
+    Host detokenization overlaps the next batch's decode: we only block on a
+    device array one batch behind.
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    hypos: List[str] = []
+    refs: List[List[str]] = []
+    pending: List[Tuple[jax.Array, int]] = []
+
+    def drain(entry):
+        tokens, n_valid = entry
+        toks = np.asarray(tokens)[:n_valid]
+        for row in toks:
+            hypos.append(ids_to_caption(row, id_to_word))
+
+    it = Prefetcher(eval_batches(dataset, word_to_id, batch_size,
+                                 pad_to=batch_size), depth=prefetch)
+    for i, batch in enumerate(it):
+        refs.extend(batch.references)
+        rng, key = jax.random.split(rng)
+        tokens = caption_fn(frozen_enc, params, batch_stats,
+                            jnp.asarray(batch.images), key)
+        pending.append((tokens, int(batch.pad_mask.sum())))
+        if len(pending) > 1:
+            drain(pending.pop(0))
+    for entry in pending:
+        drain(entry)
+    return hypos, refs
+
+
+def evaluate(kind: str, use_data: str, cap: Captioner,
+             checkpoint_loader: Callable[[int], Tuple],
+             dataset, word_to_id: Dict[str, int], id_to_word: Dict[int, str],
+             cfg: Optional[ConfigEval] = None,
+             depth_fn: Optional[Callable] = None,
+             num_sets: int = 3,
+             scores_pickle: Optional[str] = None,
+             quiet: bool = False) -> Dict[str, List[float]]:
+    """Score ``num_sets`` checkpoint sets (reference: base_evaluation.py:
+    123-166 accumulates per-metric lists over 3 sets and pickles them).
+
+    ``checkpoint_loader(set_index)`` -> (frozen_enc, params, batch_stats).
+    """
+    cfg = cfg or ConfigEval()
+    start_id = word_to_id[SPECIAL.start]
+    caption_fn = make_caption_fn(cap, start_id, cfg.max_length, depth_fn)
+    scores: Dict[str, List[float]] = {k: [] for k in METRIC_KEYS}
+    for set_idx in range(1, num_sets + 1):
+        frozen_enc, params, batch_stats = checkpoint_loader(set_idx)
+        hypos, refs = generate_captions(
+            caption_fn, frozen_enc, params, batch_stats, dataset,
+            word_to_id, id_to_word, cfg.batch_size,
+            rng=jax.random.PRNGKey(set_idx), max_length=cfg.max_length)
+        ref, hypo = load_textfiles(refs, hypos)
+        result = score(ref, hypo)
+        if not quiet:
+            print(result)
+        for k, v in result.items():
+            scores[k].append(v)
+    if scores_pickle:
+        with open(scores_pickle, "wb") as f:
+            pickle.dump(scores, f)
+    return scores

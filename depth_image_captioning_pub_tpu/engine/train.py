@@ -1,0 +1,227 @@
+"""Full training loop.
+
+One parameterized loop replaces the reference's five near-identical epoch
+loops (train_base_soft base_train.py:24, train_base_hard :248, train_nic
+nic.py:178, train_Cdepth_soft depth_train.py:27, train_Cdepth_hard :338).
+Shared skeleton there: CocoCaptions + collate DataLoader, AdamW on the
+trainable subset, 150 epochs of train/val, per-epoch CSV loss rows, and
+best-val-loss per-component checkpointing with fixed filenames.
+
+TPU-native changes:
+* one jitted train step per config (engine/steps.py), batches sharded over a
+  1-D data mesh (parallel/mesh.py) — the reference is single-device;
+* the frozen backbone runs inside the step; for depth models, DPT depth maps
+  come from a precomputed per-image cache (engine/depth_cache.py) rather
+  than the reference's epoch-0 dict keyed by caption text, fixing its
+  key-collision and last-batch-size bugs (SURVEY.md §4.1) while preserving
+  semantics;
+* full-state orbax checkpoints allow resume (the reference cannot).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from depth_image_captioning_pub_tpu.config import ConfigTrain
+from depth_image_captioning_pub_tpu.data.coco import CocoCaptions
+from depth_image_captioning_pub_tpu.data.pipeline import Prefetcher, train_batches
+from depth_image_captioning_pub_tpu.data.vocab import load_vocab
+from depth_image_captioning_pub_tpu.engine.steps import (
+    TrainState, make_attention_eval_step, make_attention_train_step,
+    make_nic_eval_step, make_nic_train_step, make_optimizer)
+from depth_image_captioning_pub_tpu.models.captioner import Captioner, build_captioner
+from depth_image_captioning_pub_tpu.parallel.mesh import (
+    make_mesh, pad_batch_to_devices, shard_batch, replicate)
+from depth_image_captioning_pub_tpu.utils.checkpoint import save_component
+from depth_image_captioning_pub_tpu.utils.logging import (
+    CsvLossLog, JsonlLog, ProgressMeter)
+
+_KIND_PREFIX = {"base-soft": "base_soft", "base-hard": "base_hard",
+                "depth-soft": "depth_soft", "depth-hard": "depth_hard",
+                "mdepth-soft": "mdepth_soft", "mdepth-hard": "mdepth_hard",
+                "nic": "nic"}
+
+
+def gumbel_temperature(epoch: int, temp_sch: int = 10) -> float:
+    """Hard-attention temperature schedule: updated every ``temp_sch``
+    epochs to max(cos(pi*epoch/360), 0.5), starting at 1.0
+    (reference: base_train.py:239-246, :360, :371-373)."""
+    if epoch < temp_sch:
+        return 1.0
+    e = (epoch // temp_sch) * temp_sch
+    return float(max(math.cos(math.pi * e / 360.0), 0.5))
+
+
+def _save_dir_kind(kind: str) -> str:
+    return {"base-soft": "soft", "base-hard": "hard",
+            "depth-soft": "depth_soft", "depth-hard": "depth_hard",
+            "mdepth-soft": "depth_soft", "mdepth-hard": "depth_hard",
+            "nic": "nic"}[kind]
+
+
+def train(kind: str, ext: int, use_data: str = "coco",
+          cfg: Optional[ConfigTrain] = None,
+          depth_provider: Optional[Callable] = None,
+          datasets=None, word_to_id=None,
+          num_epochs: Optional[int] = None,
+          resnet_variables=None,
+          quiet: bool = False,
+          resnet_layers=None) -> Dict[str, float]:
+    """Train one configuration; returns summary metrics.
+
+    kind: one of models.captioner.KINDS; ext: run index (0..2, the reference
+    trains each config 3x — base_main.py:17); use_data: "coco" | "original".
+    ``depth_provider(images_01_224)`` -> [B,224,224,1] standardized depth
+    maps, required for depth kinds; ``datasets=(train_ds, val_ds)`` and
+    ``word_to_id`` override file loading (used by tests/fixtures).
+    ``resnet_variables`` injects bridged pretrained backbone weights.
+    """
+    cfg = cfg or ConfigTrain()
+    use_ori = use_data == "original"
+    if word_to_id is None:
+        path = cfg.ori_word_to_id_file if use_ori else cfg.word_to_id_file
+        word_to_id, _ = load_vocab(path)
+    vocab_size = len(word_to_id)
+
+    if datasets is None:
+        train_anno = cfg.ori_train_anno_file if use_ori else cfg.train_anno_file
+        val_anno = cfg.ori_val_anno_file if use_ori else cfg.val_anno_file
+        train_ds = CocoCaptions(cfg.train_img_directory, train_anno)
+        val_ds = CocoCaptions(cfg.val_img_directory, val_anno)
+    else:
+        train_ds, val_ds = datasets
+
+    save_directory = cfg.save_dir(_save_dir_kind(kind), use_ori)
+    os.makedirs(save_directory, exist_ok=True)
+    prefix = _KIND_PREFIX[kind]
+    suffix = f"{use_data}{ext}" if kind != "nic" else f"{ext}"
+    sep = "_" if kind != "nic" else ""
+    train_csv = CsvLossLog(f"{save_directory}/{prefix}_train_loss{sep}{suffix}.csv")
+    val_csv = CsvLossLog(f"{save_directory}/{prefix}_val_loss{sep}{suffix}.csv")
+    jsonl = JsonlLog(f"{save_directory}/{prefix}_metrics_{suffix}.jsonl") \
+        if cfg.log_jsonl else None
+
+    cap = build_captioner(kind, vocab_size, cfg, resnet_layers=resnet_layers)
+    params, frozen, stats = cap.init(jax.random.PRNGKey(cfg.seed + ext))
+    if resnet_variables is not None:
+        frozen = dict(frozen, encoder=resnet_variables)
+
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.ravel())
+    pad_to = pad_batch_to_devices(cfg.batch_size, n_dev)
+
+    opt = make_optimizer(cfg.lr)
+    state = TrainState(params, opt.init(params), frozen, stats, jnp.int32(0))
+    state = replicate(mesh, state)
+
+    is_hard = "hard" in kind
+    alpha_reg = cfg.alpha_reg if (not is_hard and kind != "nic") else 0.0
+    if kind == "nic":
+        step_fn = make_nic_train_step(cap.encoder_apply(), cap.decoder_apply(),
+                                      opt)
+        val_fn = make_nic_eval_step(cap.encoder_apply(), cap.decoder_apply())
+    else:
+        step_fn = make_attention_train_step(
+            cap.encoder_apply(), cap.decoder_apply(), opt,
+            alpha_reg=alpha_reg,
+            depth_encoder_apply=cap.depth_encoder_apply())
+        val_fn = make_attention_eval_step(
+            cap.encoder_apply(), cap.decoder_apply(), alpha_reg=alpha_reg,
+            depth_encoder_apply=cap.depth_encoder_apply(),
+            hard_eval_sampling=is_hard)
+
+    uses_depth = cap.spec.uses_depth
+    if uses_depth and depth_provider is None:
+        raise ValueError(f"{kind} needs a depth_provider")
+
+    def to_device(batch, epoch_rng):
+        arrays = {"images": batch.images, "captions": batch.captions,
+                  "lengths": batch.lengths, "pad_mask": batch.pad_mask}
+        if uses_depth:
+            arrays["depth"] = depth_provider(batch.images)
+        return shard_batch(mesh, arrays)
+
+    rng = jax.random.PRNGKey(cfg.seed * 7919 + ext)
+    best_val = float("inf")
+    epochs = num_epochs if num_epochs is not None else cfg.num_epochs
+    summary: Dict[str, float] = {}
+    for epoch in range(epochs):
+        temp = jnp.float32(gumbel_temperature(epoch, cfg.temp_sch))
+        meter = ProgressMeter(cfg.moving_avg, desc=f"[epoch {epoch + 1}]",
+                              quiet=quiet)
+        t0 = time.time()
+        losses = []
+        it = Prefetcher(train_batches(
+            train_ds, word_to_id, cfg.batch_size, cfg.max_caption_len,
+            shuffle=True, seed=cfg.seed + ext, epoch=epoch, pad_to=pad_to))
+        for batch in it:
+            rng, step_rng = jax.random.split(rng)
+            dev_batch = to_device(batch, step_rng)
+            if kind == "nic":
+                state, metrics = step_fn(state, dev_batch, step_rng)
+            else:
+                state, metrics = step_fn(state, dev_batch, step_rng, temp)
+            loss = float(metrics["loss"])
+            losses.append(loss)
+            meter.update(loss)
+        meter.close()
+        train_loss = float(np.mean(losses)) if losses else float("nan")
+        train_csv.append(epoch, train_loss)
+        if not quiet:
+            print(f"[epoch:{epoch}] train loss: {train_loss}")
+
+        # validation
+        val_losses = []
+        itv = Prefetcher(train_batches(
+            val_ds, word_to_id, cfg.batch_size, cfg.max_caption_len,
+            shuffle=False, seed=cfg.seed, epoch=epoch, pad_to=pad_to))
+        for batch in itv:
+            rng, vrng = jax.random.split(rng)
+            dev_batch = to_device(batch, vrng)
+            if kind == "nic":
+                metrics = val_fn(state, dev_batch)
+            else:
+                metrics = val_fn(state, dev_batch, vrng)
+            val_losses.append(float(metrics["loss"]))
+        val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+        val_csv.append(epoch, val_loss)
+        if not quiet:
+            print(f"[epoch:{epoch}] Validation loss: {val_loss}")
+        if jsonl:
+            jsonl.append({"epoch": epoch, "train_loss": train_loss,
+                          "val_loss": val_loss,
+                          "epoch_seconds": time.time() - t0,
+                          "temp": float(temp)})
+
+        if val_loss < best_val:
+            best_val = val_loss
+            _save_best(save_directory, prefix, suffix, sep, kind, state)
+            if not quiet:
+                print("best model parameters are changed")
+    summary["best_val_loss"] = best_val
+    summary["final_train_loss"] = train_loss
+    return summary
+
+
+def _save_best(save_directory: str, prefix: str, suffix: str, sep: str,
+               kind: str, state: TrainState) -> None:
+    """Per-component best-val files with the reference's basenames
+    (reference: base_train.py:227-234, depth_train.py:310-322)."""
+    enc_name = f"{save_directory}/{prefix}_encoder_best{sep}{suffix}.pth"
+    dec_name = f"{save_directory}/{prefix}_decoder_best{sep}{suffix}.pth"
+    save_component(enc_name, jax.device_get(state.frozen["encoder"]))
+    save_component(dec_name, jax.device_get(state.params["decoder"]))
+    if "enc_linear" in state.params:
+        save_component(f"{save_directory}/{prefix}_enc_linear_best{sep}{suffix}.pth",
+                       jax.device_get(state.params["enc_linear"]))
+    if "depth_encoder" in state.params:
+        save_component(f"{save_directory}/{prefix}_D_encoder_best{sep}{suffix}.pth",
+                       jax.device_get({"params": state.params["depth_encoder"],
+                                       "batch_stats": state.batch_stats}))

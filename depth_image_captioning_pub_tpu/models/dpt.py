@@ -1,0 +1,416 @@
+"""DPT-hybrid monocular depth estimator (ViT-B + ResNetV2-50 backbone).
+
+From-scratch flax/NHWC re-design of the reference's vendored MiDaS DPT stack
+(reference: Depth_caption_model/modules/midas/{dpt_depth,vit,blocks}.py and
+the DPT_Depthestimator wrapper at DPT_model.py:16-66, backbone
+'vitb_rn50_384'). Architectural contract reproduced exactly so the Omnidata
+checkpoint bridges 1:1:
+
+* ResNetV2 stem (weight-standardized 7x7/2 conv + GroupNorm(32) + ReLU +
+  SAME max-pool 3x3/2) and 3 post-activation bottleneck stages with layout
+  (3, 4, 9) — taps after stages 0 (256ch, /4) and 1 (512ch, /8)
+  (vit.py:363-368);
+* 1x1 patch projection to 768, class token, position embeddings (bilinearly
+  resized for non-384 inputs, vit.py:102-116), 12 pre-LN transformer blocks
+  — taps after blocks 8 and 11 (vit.py:370-371);
+* 'project' readout folding the class token into each tap (vit.py:36-47),
+  reassembly convs (act_postprocess3/4, vit.py:431-462), scratch 3x3 convs
+  [256,512,768,768]->256 (blocks.py:49-75), four RefineNet-style fusion
+  blocks with align_corners bilinear x2 upsampling (blocks.py:230-341), and
+  the monocular head conv->upx2->conv->relu->1x1->relu (dpt_depth.py:91-99).
+
+The reference reaches tap activations through registered forward hooks on a
+timm model and monkey-patched methods (vit.py:158-165, :291-294); here the
+backbone simply *returns* its four tap tensors — hooks are an artifact of
+retrofitting, not architecture.
+
+The whole network is inference-only in this framework (frozen depth source,
+reference: DPT_model.py:63-66), so no BN/dropout modes exist; everything
+runs in the caller's dtype (bf16 on TPU, f32 for parity checks).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Dtype = Any
+
+
+# ---------------------------------------------------------------------------
+# Exact align_corners=True bilinear resize as separable matmuls.
+# torch F.interpolate(..., mode="bilinear", align_corners=True) maps output
+# index i to input coordinate i*(in-1)/(out-1); a [out, in] interpolation
+# matrix per axis turns the resize into two small MXU matmuls.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    if out_size == 1 or in_size == 1:
+        m[:, 0] = 1.0
+        return m
+    scale = (in_size - 1) / (out_size - 1)
+    for i in range(out_size):
+        pos = i * scale
+        lo = int(np.floor(pos))
+        hi = min(lo + 1, in_size - 1)
+        frac = pos - lo
+        m[i, lo] += 1.0 - frac
+        m[i, hi] += frac
+    return m
+
+
+def resize_align_corners(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """[B, H, W, C] -> [B, h, w, C], bilinear, align_corners=True."""
+    mh = jnp.asarray(_interp_matrix(x.shape[1], out_hw[0]), dtype=x.dtype)
+    mw = jnp.asarray(_interp_matrix(x.shape[2], out_hw[1]), dtype=x.dtype)
+    x = jnp.einsum("oh,bhwc->bowc", mh, x, preferred_element_type=x.dtype)
+    return jnp.einsum("pw,bowc->bopc", mw, x, preferred_element_type=x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# ResNetV2 pieces (timm non-preact variant used by the hybrid ViT)
+# ---------------------------------------------------------------------------
+
+class StdConv(nn.Module):
+    """Weight-standardized conv (timm StdConv2dSame): kernel normalized to
+    zero mean / unit variance over (kh, kw, in) per output channel."""
+
+    features: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (kh, kw, x.shape[-1], self.features), jnp.float32)
+        mean = w.mean(axis=(0, 1, 2), keepdims=True)
+        var = w.var(axis=(0, 1, 2), keepdims=True)
+        w = (w - mean) / jnp.sqrt(var + 1e-6)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=self.strides, padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32).astype(self.dtype)
+        return y
+
+
+class GroupNormAct(nn.Module):
+    """GroupNorm(32) with optional fused ReLU (timm GroupNormAct)."""
+
+    act: bool = True
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=x.dtype, param_dtype=jnp.float32,
+                         name="gn")(x)
+        return nn.relu(y) if self.act else y
+
+
+class ResNetV2Bottleneck(nn.Module):
+    """Post-activation bottleneck: (conv1x1+GN+relu)x -> 3x3(stride) ->
+    1x1(4x, GN no act) + residual, relu after the add."""
+
+    mid: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out_ch = self.mid * 4
+        shortcut = x
+        if self.downsample:
+            shortcut = StdConv(out_ch, (1, 1), (self.stride, self.stride),
+                               dtype=self.dtype, name="ds_conv")(x)
+            shortcut = GroupNormAct(act=False, name="ds_norm")(shortcut)
+        y = StdConv(self.mid, (1, 1), dtype=self.dtype, name="conv1")(x)
+        y = GroupNormAct(name="norm1")(y)
+        y = StdConv(self.mid, (3, 3), (self.stride, self.stride),
+                    dtype=self.dtype, name="conv2")(y)
+        y = GroupNormAct(name="norm2")(y)
+        y = StdConv(out_ch, (1, 1), dtype=self.dtype, name="conv3")(y)
+        y = GroupNormAct(act=False, name="norm3")(y)
+        return nn.relu(y + shortcut)
+
+
+class HybridResNetStages(nn.Module):
+    """Stem + 3 stages; returns (stage0 /4, stage1 /8, stage2 /16)."""
+
+    layers: Sequence[int] = (3, 4, 9)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        x = StdConv(64, (7, 7), (2, 2), dtype=self.dtype, name="stem_conv")(x)
+        x = GroupNormAct(name="stem_norm")(x)
+        # SAME max-pool 3x3/2 (timm MaxPool2dSame)
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME")
+        taps = []
+        for si, blocks in enumerate(self.layers):
+            mid = 64 * (2 ** si)
+            for bi in range(blocks):
+                stride = 2 if (si > 0 and bi == 0) else 1
+                x = ResNetV2Bottleneck(mid=mid, stride=stride,
+                                       downsample=(bi == 0),
+                                       dtype=self.dtype,
+                                       name=f"stage{si}_{bi}")(x)
+            taps.append(x)
+        return taps  # [/4 256ch, /8 512ch, /16 1024ch]
+
+
+# ---------------------------------------------------------------------------
+# ViT pieces
+# ---------------------------------------------------------------------------
+
+class ViTBlock(nn.Module):
+    dim: int = 768
+    heads: int = 12
+    mlp_ratio: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="norm1")(x)
+        B, N, D = h.shape
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="qkv")(h)
+        qkv = qkv.reshape(B, N, 3, self.heads, D // self.heads)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scale = (D // self.heads) ** -0.5
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
+                         preferred_element_type=self.dtype)
+        out = out.reshape(B, N, D)
+        out = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="proj")(out)
+        x = x + out
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="norm2")(x)
+        h = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc2")(h)
+        return x + h
+
+
+class ProjectReadout(nn.Module):
+    """Fold the class token into every patch token: cat + Linear + GELU
+    (vit.py:36-47)."""
+
+    dim: int = 768
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array) -> jax.Array:
+        cls = tokens[:, :1]
+        patches = tokens[:, 1:]
+        readout = jnp.broadcast_to(cls, patches.shape)
+        x = jnp.concatenate([patches, readout], axis=-1)
+        x = nn.Dense(self.dim, dtype=x.dtype, param_dtype=jnp.float32,
+                     name="project")(x)
+        return jax.nn.gelu(x, approximate=False)
+
+
+# ---------------------------------------------------------------------------
+# Fusion decoder
+# ---------------------------------------------------------------------------
+
+class ResidualConvUnit(nn.Module):
+    """relu->conv3x3->relu->conv3x3 + skip (blocks.py:230-287, bn=False)."""
+
+    features: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.relu(x)
+        y = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv2")(y)
+        return y + x
+
+
+class FeatureFusionBlock(nn.Module):
+    """RefineNet-style fusion: add refined skip, refine, upsample x2
+    (align_corners), 1x1 out conv (blocks.py:289-341)."""
+
+    features: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, skip: jax.Array | None = None) -> jax.Array:
+        if skip is not None:
+            x = x + ResidualConvUnit(self.features, dtype=self.dtype,
+                                     name="res1")(skip)
+        x = ResidualConvUnit(self.features, dtype=self.dtype, name="res2")(x)
+        x = resize_align_corners(x, (x.shape[1] * 2, x.shape[2] * 2))
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                       param_dtype=jnp.float32, name="out_conv")(x)
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+class DPTDepthModel(nn.Module):
+    """images [B, H, W, 3] (DPT-normalized) -> depth [B, H, W]."""
+
+    features: int = 256
+    vit_dim: int = 768
+    vit_heads: int = 12
+    vit_blocks: int = 12
+    hooks: Tuple[int, int] = (8, 11)
+    resnet_layers: Sequence[int] = (3, 4, 9)
+    patch: int = 16
+    pretrain_grid: int = 24          # 384/16: pos-embed grid of the ckpt
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, _ = x.shape
+        gh, gw = H // self.patch, W // self.patch
+        x = x.astype(self.dtype)
+
+        # --- hybrid backbone ------------------------------------------------
+        tap1, tap2, feat16 = HybridResNetStages(
+            layers=self.resnet_layers, dtype=self.dtype, name="resnet")(x)
+        tokens = nn.Conv(self.vit_dim, (1, 1), dtype=self.dtype,
+                         param_dtype=jnp.float32, name="patch_proj")(feat16)
+        tokens = tokens.reshape(B, gh * gw, self.vit_dim)
+        cls = self.param("cls_token", nn.initializers.zeros,
+                         (1, 1, self.vit_dim), jnp.float32)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, 1 + self.pretrain_grid ** 2, self.vit_dim),
+                         jnp.float32)
+        pos = _resize_pos_embed(pos, self.pretrain_grid, (gh, gw))
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(self.dtype), (B, 1, self.vit_dim)),
+             tokens], axis=1)
+        tokens = tokens + pos.astype(self.dtype)
+        tap3 = tap4 = None
+        for i in range(self.vit_blocks):
+            tokens = ViTBlock(dim=self.vit_dim, heads=self.vit_heads,
+                              dtype=self.dtype, name=f"block{i}")(tokens)
+            if i == self.hooks[0]:
+                tap3 = tokens
+            if i == self.hooks[1]:
+                tap4 = tokens
+        # (final model.norm exists in the ckpt but feeds nothing on the
+        # depth path — taps are pre-norm; vit.py:61-99 ignores `glob`.)
+
+        # --- reassembly ------------------------------------------------------
+        def tokens_to_map(t, name):
+            t = ProjectReadout(self.vit_dim, name=f"{name}_readout")(t)
+            return t.reshape(B, gh, gw, self.vit_dim)
+
+        l1 = tap1                                     # [B, H/4,  W/4,  256]
+        l2 = tap2                                     # [B, H/8,  W/8,  512]
+        l3 = tokens_to_map(tap3, "pp3")
+        l3 = nn.Conv(self.vit_dim, (1, 1), dtype=self.dtype,
+                     param_dtype=jnp.float32, name="pp3_conv")(l3)
+        l4 = tokens_to_map(tap4, "pp4")
+        l4 = nn.Conv(self.vit_dim, (1, 1), dtype=self.dtype,
+                     param_dtype=jnp.float32, name="pp4_conv")(l4)
+        l4 = nn.Conv(self.vit_dim, (3, 3), strides=(2, 2), padding=1,
+                     dtype=self.dtype, param_dtype=jnp.float32,
+                     name="pp4_down")(l4)             # [B, H/32, W/32, 768]
+
+        rn = []
+        for i, l in enumerate((l1, l2, l3, l4), start=1):
+            rn.append(nn.Conv(self.features, (3, 3), padding=1,
+                              use_bias=False, dtype=self.dtype,
+                              param_dtype=jnp.float32,
+                              name=f"layer{i}_rn")(l))
+
+        path4 = FeatureFusionBlock(self.features, dtype=self.dtype,
+                                   name="refinenet4")(rn[3])
+        path3 = FeatureFusionBlock(self.features, dtype=self.dtype,
+                                   name="refinenet3")(path4, rn[2])
+        path2 = FeatureFusionBlock(self.features, dtype=self.dtype,
+                                   name="refinenet2")(path3, rn[1])
+        path1 = FeatureFusionBlock(self.features, dtype=self.dtype,
+                                   name="refinenet1")(path2, rn[0])
+
+        # --- monocular head (dpt_depth.py:91-99) ----------------------------
+        y = nn.Conv(self.features // 2, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="head_conv1")(path1)
+        y = resize_align_corners(y, (y.shape[1] * 2, y.shape[2] * 2))
+        y = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="head_conv2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                    name="head_conv3")(y)
+        y = nn.relu(y)                                 # non_negative=True
+        return y[..., 0]
+
+
+def _resize_pos_embed(pos: jax.Array, grid_old: int,
+                      grid_new: Tuple[int, int]) -> jax.Array:
+    """Bilinear pos-embed grid resize, class token kept (vit.py:102-116)."""
+    if (grid_old, grid_old) == tuple(grid_new):
+        return pos
+    tok, grid = pos[:, :1], pos[:, 1:]
+    grid = grid.reshape(1, grid_old, grid_old, -1)
+    # torch F.interpolate(mode="bilinear") default align_corners=False ==
+    # jax.image.resize "bilinear" (vit.py:111 passes no align_corners).
+    grid = jax.image.resize(grid,
+                            (1, grid_new[0], grid_new[1], grid.shape[-1]),
+                            method="bilinear")
+    grid = grid.reshape(1, grid_new[0] * grid_new[1], -1)
+    return jnp.concatenate([tok, grid], axis=1)
+
+
+class DPTDepthEstimator:
+    """Convenience wrapper: init/restore params + jitted standardized-depth fn
+    (re-design of DPT_Depthestimator, DPT_model.py:16-66)."""
+
+    def __init__(self, dtype=jnp.float32, image_size: int = 384):
+        self.model = DPTDepthModel(dtype=dtype)
+        self.image_size = image_size
+
+    def init(self, rng: jax.Array, tiny: bool = False):
+        size = 64 if tiny else self.image_size
+        dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+        return self.model.init(rng, dummy)
+
+    def load_weights(self, path: str):
+        """Omnidata .ckpt via the torch bridge (DPT_model.py:32-41)."""
+        from depth_image_captioning_pub_tpu.utils.torch_bridge import (
+            dpt_to_flax, load_state_dict)
+        return dpt_to_flax(load_state_dict(path))
+
+    def depth_fn(self, variables):
+        """Returns traced fn: images_01 [B,224,224,3] -> standardized
+        [B,224,224,1] depth maps (the full reference pipeline:
+        resize 384 + normalize + DPT + standardize + resize 224;
+        util.py:14-17, depth_train.py:184-194)."""
+        from depth_image_captioning_pub_tpu.ops.image_ops import (
+            dpt_normalize, resize_bilinear, standardize_depth_map)
+
+        def fn(images_01):
+            x = resize_bilinear(images_01, (self.image_size, self.image_size))
+            x = dpt_normalize(x)
+            depth = self.model.apply(variables, x)[..., None]
+            depth = standardize_depth_map(depth)
+            return resize_bilinear(depth, (224, 224))
+        return fn
