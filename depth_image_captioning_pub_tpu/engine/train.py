@@ -69,6 +69,7 @@ def _save_dir_kind(kind: str) -> str:
 def train(kind: str, ext: int, use_data: str = "coco",
           cfg: Optional[ConfigTrain] = None,
           depth_provider: Optional[Callable] = None,
+          val_depth_provider: Optional[Callable] = None,
           datasets=None, word_to_id=None,
           num_epochs: Optional[int] = None,
           resnet_variables=None,
@@ -140,12 +141,15 @@ def train(kind: str, ext: int, use_data: str = "coco",
     uses_depth = cap.spec.uses_depth
     if uses_depth and depth_provider is None:
         raise ValueError(f"{kind} needs a depth_provider")
+    # an index-keyed (cached) train provider cannot serve the val set —
+    # val indices address a different dataset
+    val_provider = val_depth_provider or depth_provider
 
-    def to_device(batch, epoch_rng):
+    def to_device(batch, epoch_rng, provider=depth_provider):
         arrays = {"images": batch.images, "captions": batch.captions,
                   "lengths": batch.lengths, "pad_mask": batch.pad_mask}
         if uses_depth:
-            arrays["depth"] = depth_provider(batch.images)
+            arrays["depth"] = provider(batch.images, batch.indices)
         return shard_batch(mesh, arrays)
 
     rng = jax.random.PRNGKey(cfg.seed * 7919 + ext)
@@ -184,7 +188,7 @@ def train(kind: str, ext: int, use_data: str = "coco",
             shuffle=False, seed=cfg.seed, epoch=epoch, pad_to=pad_to))
         for batch in itv:
             rng, vrng = jax.random.split(rng)
-            dev_batch = to_device(batch, vrng)
+            dev_batch = to_device(batch, vrng, provider=val_provider)
             if kind == "nic":
                 metrics = val_fn(state, dev_batch)
             else:

@@ -133,7 +133,15 @@ class Captioner:
     # ---- init -------------------------------------------------------------
     def init(self, rng: jax.Array, image_hw=(224, 224)
              ) -> Tuple[Dict, Dict, Dict]:
-        """Returns (trainable_params, frozen, batch_stats)."""
+        """Returns (trainable_params, frozen, batch_stats).
+
+        Jitted as one program: unjitted flax init dispatches each parameter
+        op eagerly, which on a remote-compile TPU backend costs minutes for
+        ResNet-152 (measured 108s even for a tiny backbone) vs ~2s jitted.
+        """
+        return jax.jit(self._init, static_argnums=(1,))(rng, tuple(image_hw))
+
+    def _init(self, rng: jax.Array, image_hw) -> Tuple[Dict, Dict, Dict]:
         cfg, spec = self.cfg, self.spec
         k_enc, k_dec, k_dep, k_proj = jax.random.split(rng, 4)
         dummy_img = jnp.zeros((1, *image_hw, 3), jnp.float32)

@@ -391,7 +391,9 @@ class DPTDepthEstimator:
     def init(self, rng: jax.Array, tiny: bool = False):
         size = 64 if tiny else self.image_size
         dummy = jnp.zeros((1, size, size, 3), jnp.float32)
-        return self.model.init(rng, dummy)
+        # jitted: eager flax init dispatches per-param ops, which is
+        # minutes-slow on remote-compile TPU backends (see Captioner.init)
+        return jax.jit(self.model.init)(rng, dummy)
 
     def load_weights(self, path: str):
         """Omnidata .ckpt via the torch bridge (DPT_model.py:32-41)."""

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Train the depth-augmented caption models (TPU-native).
+
+Grammar identical to the reference CLI (reference: depth_main.py:14-35,
+README.md:68-79) with its crash bugs fixed — the reference imports train fns
+that don't exist, calls with wrong arity, and leaves the mlp paths as
+``pass`` (SURVEY.md §4.1); here both encoders actually train:
+
+    python depth_main.py {soft|hard} {cnn|mlp} {coco|original}
+
+Optional flags (new): --epochs N  --exp-time N  --resnet-weights PATH
+--dpt-weights PATH  --no-depth-cache
+"""
+
+import sys
+
+from depth_image_captioning_pub_tpu.cli import (
+    EXP_TIME, load_resnet_variables, make_depth_fn, resnet_layers_from_env,
+    seed_everything)
+from depth_image_captioning_pub_tpu.config import ConfigTrain
+from depth_image_captioning_pub_tpu.engine.depth_cache import (
+    DepthMapCache, cached_depth_provider, online_depth_provider)
+from depth_image_captioning_pub_tpu.engine.train import train
+
+DATAS = ("coco", "original")
+
+
+def _parse_flags(args):
+    flags = {"epochs": None, "exp_time": EXP_TIME, "cache": True}
+    cfg = ConfigTrain()
+    rest = []
+    it = iter(args)
+    for a in it:
+        if a == "--epochs":
+            flags["epochs"] = int(next(it))
+        elif a == "--exp-time":
+            flags["exp_time"] = int(next(it))
+        elif a == "--resnet-weights":
+            cfg.resnet_weights = next(it)
+        elif a == "--dpt-weights":
+            cfg.dpt_weights = next(it)
+        elif a == "--no-depth-cache":
+            flags["cache"] = False
+        else:
+            rest.append(a)
+    return rest, flags, cfg
+
+
+def main(argv=None):
+    args, flags, cfg = _parse_flags(list(sys.argv[1:] if argv is None
+                                         else argv))
+    seed_everything(cfg.seed)
+    if len(args) < 3 or args[0] not in ("soft", "hard") \
+            or args[1] not in ("cnn", "mlp") or args[2] not in DATAS:
+        print("input {soft/hard} {cnn/mlp} {coco/original}")
+        return 1
+    atten, enc_kind, use_data = args
+    kind = f"depth-{atten}" if enc_kind == "cnn" else f"mdepth-{atten}"
+
+    depth_fn = make_depth_fn(cfg)
+    if flags["cache"]:
+        # materialize depth maps once for the train set (replaces the
+        # reference's epoch-0 caption-keyed dict, depth_train.py:184-202)
+        from depth_image_captioning_pub_tpu.data.coco import CocoCaptions
+        use_ori = use_data == "original"
+        anno = cfg.ori_train_anno_file if use_ori else cfg.train_anno_file
+        train_ds = CocoCaptions(cfg.train_img_directory, anno)
+        cache = DepthMapCache(f"{cfg.save_dir('depth_' + atten, use_ori)}"
+                              f"/depth_cache_{use_data}.npy", len(train_ds))
+        if not cache.exists():
+            cache.build(train_ds, depth_fn)
+        provider = cached_depth_provider(cache)
+        val_provider = online_depth_provider(depth_fn)
+    else:
+        provider = online_depth_provider(depth_fn)
+        val_provider = provider
+
+    resnet = load_resnet_variables(cfg)
+    for i in range(flags["exp_time"]):
+        train(kind, ext=i, use_data=use_data, cfg=cfg,
+              depth_provider=provider, val_depth_provider=val_provider,
+              num_epochs=flags["epochs"], resnet_variables=resnet,
+              resnet_layers=resnet_layers_from_env())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

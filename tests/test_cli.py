@@ -1,0 +1,109 @@
+"""CLI end-to-end tests: the four entry points run the reference's grammar
+against a synthetic COCO tree (train -> checkpoints -> score -> sample),
+with the backbone shrunk via $DCAP_RESNET_LAYERS."""
+
+import os
+import pickle
+import shutil
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def coco_tree(tmp_path_factory):
+    """A cwd-shaped fixture: dataset/coco2014/{train2014,val2014,jsons,
+    vocab pickles}, data_index/np_val_index.npy, sample_pic/dog."""
+    from depth_image_captioning_pub_tpu.data.synthetic import make_synthetic_coco
+    from depth_image_captioning_pub_tpu.data.vocab import (
+        build_vocab, captions_from_coco_json, save_vocab)
+    root = tmp_path_factory.mktemp("cwd")
+    ddir = root / "dataset" / "coco2014"
+    ddir.mkdir(parents=True)
+    timg, tann = make_synthetic_coco(str(ddir), num_images=6, seed=3,
+                                     split="train2014")
+    vimg, vann = make_synthetic_coco(str(ddir), num_images=5, seed=4,
+                                     split="val2014")
+    os.rename(tann, ddir / "captions_train2014.json")
+    os.rename(vann, ddir / "captions_val2014.json")
+    w2i, i2w = build_vocab(
+        captions_from_coco_json(str(ddir / "captions_train2014.json")),
+        captions_from_coco_json(str(ddir / "captions_val2014.json")),
+        min_count=1)
+    save_vocab(w2i, i2w, str(ddir / "word_to_id.pkl"),
+               str(ddir / "id_to_word.pkl"))
+    (root / "data_index").mkdir()
+    np.save(root / "data_index" / "np_val_index.npy",
+            np.array([0, 2, 4], dtype=np.int64))
+    sp = root / "sample_pic" / "dog"
+    sp.mkdir(parents=True)
+    src = next((root / "dataset/coco2014/val2014").iterdir())
+    shutil.copy(src, sp / "dog.jpg")
+    return root
+
+
+@pytest.fixture(autouse=True)
+def tiny_env(monkeypatch, coco_tree):
+    monkeypatch.setenv("DCAP_RESNET_LAYERS", "1,1,1,1")
+    monkeypatch.setenv("DCAP_TINY_DPT", "1")
+    monkeypatch.chdir(coco_tree)
+
+
+def test_base_main_soft_then_score_then_sample(coco_tree, capsys):
+    import base_main
+    import base_evaluation
+    assert base_main.main(["soft", "coco", "--epochs", "1",
+                           "--exp-time", "1"]) == 0
+    d = coco_tree / "exp_result" / "base_soft"
+    assert (d / "base_soft_decoder_best_coco0.pth.msgpack").exists()
+    assert (d / "base_soft_train_loss_coco0.csv").exists()
+
+    assert base_evaluation.main(["soft", "score", "coco",
+                                 "--num-sets", "1"]) == 0
+    with open(d / "coco_scores.pkl", "rb") as f:
+        scores = pickle.load(f)
+    assert len(scores["CIDEr"]) == 1
+
+    assert base_evaluation.main(["soft", "sample", "dog", "coco"]) == 0
+    out_dir = coco_tree / "sample_pic" / "dog" / "base_soft"
+    assert (out_dir / "caption.txt").exists()
+
+
+def test_base_main_rejects_bad_args(capsys):
+    import base_main
+    assert base_main.main([]) == 1
+    assert base_main.main(["soft", "imagenet"]) == 1
+    assert base_main.main(["warp"]) == 1
+
+
+def test_base_main_nic_and_eval(coco_tree):
+    import base_main
+    import base_evaluation
+    assert base_main.main(["nic", "--epochs", "1", "--exp-time", "1"]) == 0
+    d = coco_tree / "exp_result" / "NIC"
+    assert (d / "nic_decoder_best0.pth.msgpack").exists()
+    assert base_evaluation.main(["nic", "--num-sets", "1"]) == 0
+    assert (d / "nic_scores.pkl").exists()
+
+
+def test_depth_main_and_eval(coco_tree):
+    import depth_main
+    import depth_evaluation
+    # random-init DPT (no weights available in this environment)
+    assert depth_main.main(["soft", "cnn", "coco", "--epochs", "1",
+                            "--exp-time", "1", "--no-depth-cache"]) == 0
+    d = coco_tree / "exp_result" / "CNN_depth_soft"
+    assert (d / "depth_soft_decoder_best_coco0.pth.msgpack").exists()
+    assert (d / "depth_soft_D_encoder_best_coco0.pth.msgpack").exists()
+    assert depth_evaluation.main(["soft", "score", "coco",
+                                  "--num-sets", "1"]) == 0
+    assert (d / "coco_scores.pkl").exists()
+
+
+def test_depth_main_rejects_bad_args():
+    import depth_main
+    assert depth_main.main(["soft", "cnn", "imagenet"]) == 1
+    assert depth_main.main(["soft"]) == 1
