@@ -44,7 +44,7 @@ def _load_vocabs(w2i_path, i2w_path):
 
 
 def score_mode(atten: str, use_data: str, cfg: ConfigEval, kind_prefix="base",
-               depth=False, depth_fn=None, num_sets=3) -> int:
+               depth=False, depth_fn=None, num_sets=3, beam_size=1) -> int:
     from depth_image_captioning_pub_tpu.engine.evaluate import evaluate
     w2i_p, i2w_p, anno, index_file, use_ori = eval_data_selection(cfg, use_data)
     word_to_id, id_to_word = _load_vocabs(w2i_p, i2w_p)
@@ -62,6 +62,7 @@ def score_mode(atten: str, use_data: str, cfg: ConfigEval, kind_prefix="base",
 
     scores = evaluate(kind, use_data, cap, loader, ds, word_to_id,
                       id_to_word, cfg, depth_fn=depth_fn, num_sets=num_sets,
+                      beam_size=beam_size,
                       scores_pickle=f"{save_directory}/{use_data}_scores.pkl")
     print({k: float(np.mean(v)) for k, v in scores.items()})
     return 0
@@ -141,11 +142,14 @@ def main(argv=None):
     args = list(sys.argv[1:] if argv is None else argv)
     cfg = ConfigEval()
     num_sets = 3
+    beam_size = 1
     rest = []
     it = iter(args)
     for a in it:
         if a == "--num-sets":
             num_sets = int(next(it))
+        elif a == "--beam":
+            beam_size = int(next(it))
         else:
             rest.append(a)
     args = rest
@@ -156,7 +160,8 @@ def main(argv=None):
         if args[2] not in evaluation_datas:
             print("input coco or rem_coco or rem_original")
             return 1
-        return score_mode(args[0], args[2], cfg, num_sets=num_sets)
+        return score_mode(args[0], args[2], cfg, num_sets=num_sets,
+                          beam_size=beam_size)
     if len(args) == 4 and args[1] == "sample":
         if args[3] not in sample_datas:
             print("input coco or original")

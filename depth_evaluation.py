@@ -30,12 +30,15 @@ def main(argv=None):
     cfg = ConfigEval()
     rest = []
     num_sets = 3
+    beam_size = 1
     it = iter(args)
     for a in it:
         if a == "--dpt-weights":
             cfg.dpt_weights = next(it)
         elif a == "--num-sets":
             num_sets = int(next(it))
+        elif a == "--beam":
+            beam_size = int(next(it))
         else:
             rest.append(a)
     args = rest
@@ -48,7 +51,8 @@ def main(argv=None):
             return 1
         depth_fn = make_depth_fn(cfg)
         return base_cli.score_mode(args[0], args[2], cfg, depth=True,
-                                    depth_fn=depth_fn, num_sets=num_sets)
+                                    depth_fn=depth_fn, num_sets=num_sets,
+                                    beam_size=beam_size)
     if len(args) == 4 and args[1] == "sample":
         if args[3] not in sample_datas:
             print("input coco or original")

@@ -34,15 +34,24 @@ METRIC_KEYS = ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L",
 
 
 def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
-                    depth_fn: Optional[Callable] = None) -> Callable:
+                    depth_fn: Optional[Callable] = None,
+                    beam_size: int = 1, end_id: Optional[int] = None,
+                    length_penalty: float = 0.0) -> Callable:
     """Build the jitted end-to-end caption function for one model config.
 
     Returns fn(frozen_encoder_vars, trainable_params, batch_stats, images,
     rng) -> tokens [B, max_length] int32. ``depth_fn(images)`` (traced, on-
     device) produces standardized [B,224,224,1] depth maps for depth kinds.
+
+    ``beam_size=1`` is the reference's greedy decode (token-ID parity path);
+    ``beam_size>1`` switches to batched beam search (requires ``end_id``).
     """
+    from depth_image_captioning_pub_tpu.models.decoder import AttentionDecoder
+    from depth_image_captioning_pub_tpu.models.nic import NICDecoder
     from depth_image_captioning_pub_tpu.ops.image_ops import imagenet_normalize
 
+    if beam_size > 1 and end_id is None:
+        raise ValueError("beam search needs end_id (<end> token)")
     encoder_apply = cap.encoder_apply()
     sample_apply = cap.sample_apply()
     depth_encoder_apply = cap.depth_encoder_apply()
@@ -52,6 +61,13 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
         def caption_fn(frozen_enc, params, batch_stats, images, rng):
             feats = encoder_apply(frozen_enc, params["enc_linear"],
                                   imagenet_normalize(images))
+            if beam_size > 1:
+                tokens, _ = cap.decoder.apply(
+                    {"params": params["decoder"]}, feats, end_id,
+                    beam_size=beam_size, max_length=max_length,
+                    length_penalty=length_penalty,
+                    method=NICDecoder.beam_sample)
+                return tokens
             return sample_apply(params["decoder"], feats,
                                 max_length=max_length)
         return caption_fn
@@ -65,6 +81,13 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
             dep, _ = depth_encoder_apply(params["depth_encoder"],
                                          batch_stats, depth_maps,
                                          train=False)
+        if beam_size > 1:
+            tokens, _ = cap.decoder.apply(
+                {"params": params["decoder"]}, feats, start_id, end_id, dep,
+                beam_size=beam_size, max_length=max_length,
+                length_penalty=length_penalty, rng=rng,
+                method=AttentionDecoder.beam_sample)
+            return tokens
         tokens, _ = sample_apply(params["decoder"], feats, start_id, dep,
                                  max_length=max_length, rng=rng)
         return tokens
@@ -115,6 +138,7 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
              depth_fn: Optional[Callable] = None,
              num_sets: int = 3,
              scores_pickle: Optional[str] = None,
+             beam_size: int = 1,
              quiet: bool = False) -> Dict[str, List[float]]:
     """Score ``num_sets`` checkpoint sets (reference: base_evaluation.py:
     123-166 accumulates per-metric lists over 3 sets and pickles them).
@@ -123,7 +147,9 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
     """
     cfg = cfg or ConfigEval()
     start_id = word_to_id[SPECIAL.start]
-    caption_fn = make_caption_fn(cap, start_id, cfg.max_length, depth_fn)
+    caption_fn = make_caption_fn(cap, start_id, cfg.max_length, depth_fn,
+                                 beam_size=beam_size,
+                                 end_id=word_to_id[SPECIAL.end])
     scores: Dict[str, List[float]] = {k: [] for k in METRIC_KEYS}
     for set_idx in range(1, num_sets + 1):
         frozen_enc, params, batch_stats = checkpoint_loader(set_idx)

@@ -236,3 +236,46 @@ class AttentionDecoder(nn.Module):
         _, (tokens, alphas) = jax.lax.scan(
             step, (state, prev), jnp.arange(max_length))
         return jnp.swapaxes(tokens, 0, 1), jnp.swapaxes(alphas, 0, 1)
+
+    # ---- beam search (new capability; the reference is greedy-only) --------
+    def beam_sample(self, features: jax.Array, start_id: int, end_id: int,
+                    depth_features: Optional[jax.Array] = None, *,
+                    beam_size: int = 5, max_length: int = 30,
+                    length_penalty: float = 0.0,
+                    rng: Optional[jax.Array] = None
+                    ) -> Tuple[jax.Array, jax.Array]:
+        """Batched beam search, one lax.scan (ops/decode.beam_search).
+
+        Returns (tokens [B, max_length], scores [B]). With beam_size=1 this
+        ranks identically to greedy decode.
+        """
+        from depth_image_captioning_pub_tpu.ops.decode import (
+            beam_search, tile_for_beams)
+
+        features = self.fuse(features, depth_features).astype(self.dtype)
+        features_proj = project_features(self._att_params(), features)
+        state0 = self.init_state(features)
+        batch = features.shape[0]
+        tiled = tile_for_beams(
+            {"features": features, "proj": features_proj,
+             "h": state0.h, "c": state0.c}, beam_size)
+        if rng is None:
+            if self.attention_kind == "hard":
+                raise ValueError("rng required for hard attention")
+            rng = jax.random.PRNGKey(0)
+
+        def step_fn(state, prev, t):
+            h, c = state["h"], state["c"]
+            emb_t = jnp.take(self.embed, prev, axis=0)
+            key = jax.random.fold_in(rng, t)
+            (h, c), logits, _ = self._step(
+                DecoderState(h, c), emb_t, tiled["features"], tiled["proj"],
+                train=False, temp=jnp.float32(1.0), key=key,
+                dropout_key=key)
+            logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            return {"h": h, "c": c}, logprobs
+
+        init = {"h": tiled["h"], "c": tiled["c"]}
+        return beam_search(step_fn, init, batch, start_id, end_id,
+                           beam_size=beam_size, max_length=max_length,
+                           length_penalty=length_penalty)

@@ -98,3 +98,34 @@ class NICDecoder(nn.Module):
 
         _, tokens = jax.lax.scan(step, (x0, h, c), None, length=max_length)
         return jnp.swapaxes(tokens, 0, 1)
+
+    def beam_sample(self, features: jax.Array, end_id: int, *,
+                    beam_size: int = 5, max_length: int = 30,
+                    length_penalty: float = 0.0):
+        """Batched beam search (new capability; reference is greedy-only).
+
+        The LSTM is primed by the image embedding at step 0 (nic.py:150-175),
+        so the first step ignores the fed-back token.
+        """
+        from depth_image_captioning_pub_tpu.ops.decode import (
+            beam_search, tile_for_beams)
+        batch = features.shape[0]
+        h0, c0 = self._zero_state(batch * beam_size)
+        feat_tiled = tile_for_beams(features.astype(self.dtype), beam_size)
+        # beam_search gathers state along dim 0, so carry [B*W, layers, H]
+        h0, c0 = jnp.swapaxes(h0, 0, 1), jnp.swapaxes(c0, 0, 1)
+
+        def step_fn(state, prev, t):
+            h = jnp.swapaxes(state["h"], 0, 1)
+            c = jnp.swapaxes(state["c"], 0, 1)
+            emb = jnp.take(self.embed, prev, axis=0).astype(self.dtype)
+            x = jnp.where(t == 0, feat_tiled, emb)
+            out, h, c = stacked_lstm_step(self.lstm, x, h, c)
+            logits = out @ self.out_w + self.out_b
+            return ({"h": jnp.swapaxes(h, 0, 1), "c": jnp.swapaxes(c, 0, 1)},
+                    jax.nn.log_softmax(logits.astype(jnp.float32), -1))
+
+        return beam_search(step_fn, {"h": h0, "c": c0}, batch,
+                           start_id=0, end_id=end_id, beam_size=beam_size,
+                           max_length=max_length,
+                           length_penalty=length_penalty)

@@ -1,0 +1,92 @@
+"""Batched sequence decoding: greedy scan helpers and beam search.
+
+The reference has NO beam search — every decode is greedy argmax
+(reference: base_caption_models.py:165-250; SURVEY.md §0) — but the driver's
+headline metric names batched beam search (BASELINE.json), so the framework
+provides it as a first-class TPU-native op: the whole search is ONE
+``lax.scan`` over fixed [batch*beam] shapes; beam reordering is a gather;
+finished beams persist by forcing <end> with zero cost. No host syncs.
+
+Generic over models via ``step_fn(state, tokens, t) -> (state, logprobs)``
+where every leaf of ``state`` and ``tokens``/``logprobs`` carry a leading
+[B*W] dim and ``t`` is the scalar step index (for per-step rng folding).
+Used by AttentionDecoder.beam_sample and NICDecoder.beam_sample.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+def _gather_beams(tree: Any, parent: jax.Array, batch: int,
+                  beam: int) -> Any:
+    """Reorder [B*W, ...] leaves by per-batch parent indices [B, W]."""
+    flat_idx = (jnp.arange(batch)[:, None] * beam + parent).reshape(-1)
+    return jax.tree_util.tree_map(lambda x: x[flat_idx], tree)
+
+
+def beam_search(step_fn: Callable, init_state: Any, batch: int,
+                start_id: int, end_id: int, *, beam_size: int = 5,
+                max_length: int = 30,
+                length_penalty: float = 0.0) -> Tuple[jax.Array, jax.Array]:
+    """Returns (tokens [B, max_length] of the best beam, scores [B]).
+
+    ``init_state`` leaves must already be tiled to [B*W, ...] (tile each
+    per-image tensor ``beam_size`` times along dim 0). ``length_penalty``
+    alpha applies GNMT-style normalization score/len^alpha at selection
+    time; 0 reproduces pure log-prob ranking.
+    """
+    bw = batch * beam_size
+    scores0 = jnp.full((batch, beam_size), NEG_INF, jnp.float32)
+    scores0 = scores0.at[:, 0].set(0.0)  # only beam 0 live at step 0
+    tokens0 = jnp.full((bw,), start_id, jnp.int32)
+    history0 = jnp.full((batch, beam_size, max_length), end_id, jnp.int32)
+    finished0 = jnp.zeros((batch, beam_size), bool)
+    vocab = None  # inferred on first step
+
+    def step(carry, t):
+        state, prev, scores, history, finished = carry
+        state, logprobs = step_fn(state, prev, t)        # [B*W, V]
+        v = logprobs.shape[-1]
+        logprobs = logprobs.reshape(batch, beam_size, v).astype(jnp.float32)
+        # finished beams: only <end> continues, for free
+        fin_row = jnp.full((v,), NEG_INF).at[end_id].set(0.0)
+        logprobs = jnp.where(finished[..., None], fin_row, logprobs)
+        total = scores[..., None] + logprobs             # [B, W, V]
+        flat = total.reshape(batch, beam_size * v)
+        new_scores, flat_idx = jax.lax.top_k(flat, beam_size)
+        parent = flat_idx // v                           # [B, W]
+        token = (flat_idx % v).astype(jnp.int32)         # [B, W]
+        state = _gather_beams(state, parent, batch, beam_size)
+        history = jnp.take_along_axis(history, parent[..., None], axis=1)
+        history = history.at[:, :, t].set(token)
+        finished = jnp.take_along_axis(finished, parent, axis=1) \
+            | (token == end_id)
+        return (state, token.reshape(-1), new_scores, history, finished), None
+
+    carry0 = (init_state, tokens0, scores0, history0, finished0)
+    (state, _, scores, history, finished), _ = jax.lax.scan(
+        step, carry0, jnp.arange(max_length))
+
+    if length_penalty > 0.0:
+        lengths = jnp.minimum(
+            jnp.argmax(history == end_id, axis=-1) + 1, max_length)
+        norm = scores / (lengths.astype(jnp.float32) ** length_penalty)
+    else:
+        norm = scores
+    best = jnp.argmax(norm, axis=1)                      # [B]
+    tokens = jnp.take_along_axis(
+        history, best[:, None, None], axis=1)[:, 0]      # [B, max_length]
+    best_scores = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]
+    return tokens, best_scores
+
+
+def tile_for_beams(tree: Any, beam_size: int) -> Any:
+    """[B, ...] -> [B*W, ...] by repeating each row beam_size times."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x, beam_size, axis=0), tree)

@@ -1,0 +1,163 @@
+"""Greedy token-ID parity vs a torch restatement of the reference decoder.
+
+The driver criterion demands captions whose token IDs match the PyTorch
+checkpoints (BASELINE.json). Real reference checkpoints don't exist in this
+environment, so we do the next-strongest thing: restate the reference's
+soft-attention decoder semantics in torch (same module graph as
+base_caption_models.py:49-250), bridge its randomly-initialized state dict
+through utils/torch_bridge, and require our lax.scan decoder to produce
+IDENTICAL greedy token IDs and matching teacher-forcing logits in float32.
+
+Also covers the NIC decoder (nic.py:61-175) the same way.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+nn = torch.nn
+
+VOCAB, D_ATT, D_EMB, D_ENC, D_HID, K = 50, 16, 12, 24, 20, 196
+
+
+class TorchSoftDecoder(nn.Module):
+    """Reference-semantics soft-attention decoder (greedy batch path)."""
+
+    def __init__(self):
+        super().__init__()
+        class Att(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.encoder_att = nn.Linear(D_ENC, D_ATT)
+                self.decoder_att = nn.Linear(D_HID, D_ATT)
+                self.full_att = nn.Linear(D_ATT, 1)
+
+            def forward(self, feats, h):
+                a = self.full_att(torch.relu(
+                    self.encoder_att(feats)
+                    + self.decoder_att(h).unsqueeze(1))).squeeze(2)
+                alpha = a.softmax(dim=1)
+                return (feats * alpha.unsqueeze(2)).sum(dim=1), alpha
+
+        self.attention = Att()
+        self.embed = nn.Embedding(VOCAB, D_EMB)
+        self.decode_step = nn.LSTMCell(D_EMB + D_ENC, D_HID)
+        self.init_linear = nn.Linear(D_ENC, D_HID * 2)
+        self.f_beta = nn.Linear(D_HID, D_ENC)
+        self.linear = nn.Linear(D_HID, VOCAB)
+
+    @torch.no_grad()
+    def batch_sample(self, feats, start_id, max_length=30):
+        h, c = self.init_linear(feats.mean(dim=1)).chunk(2, dim=1)
+        prev = torch.full((feats.shape[0],), start_id, dtype=torch.long)
+        out = []
+        for _ in range(max_length):
+            ctx, _ = self.attention(feats, h)
+            gate = torch.sigmoid(self.f_beta(h))
+            x = torch.cat([self.embed(prev), gate * ctx], dim=1)
+            h, c = self.decode_step(x, (h, c))
+            prev = self.linear(h).softmax(dim=1).argmax(dim=1)
+            out.append(prev.numpy().copy())
+        return np.stack(out, axis=1)
+
+    @torch.no_grad()
+    def teacher_forcing(self, feats, captions):
+        h, c = self.init_linear(feats.mean(dim=1)).chunk(2, dim=1)
+        emb = self.embed(captions)
+        logits = []
+        alphas = []
+        for t in range(captions.shape[1] - 1):
+            ctx, alpha = self.attention(feats, h)
+            gate = torch.sigmoid(self.f_beta(h))
+            x = torch.cat([emb[:, t], gate * ctx], dim=1)
+            h, c = self.decode_step(x, (h, c))
+            logits.append(self.linear(h))
+            alphas.append(alpha)
+        return torch.stack(logits, 1).numpy(), torch.stack(alphas, 1).numpy()
+
+
+def _state_dict_np(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+@pytest.fixture(scope="module")
+def bridged():
+    from depth_image_captioning_pub_tpu.models.decoder import AttentionDecoder
+    from depth_image_captioning_pub_tpu.utils.torch_bridge import (
+        attention_decoder_to_flax)
+    torch.manual_seed(0)
+    tdec = TorchSoftDecoder().eval()
+    params = attention_decoder_to_flax(_state_dict_np(tdec))
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    jdec = AttentionDecoder(vocab_size=VOCAB, dim_attention=D_ATT,
+                            dim_embedding=D_EMB, dim_encoder=D_ENC,
+                            dim_decoder=D_HID, attention_kind="soft",
+                            dtype=jnp.float32)
+    return tdec, jdec, params
+
+
+def test_greedy_token_ids_match(bridged):
+    tdec, jdec, params = bridged
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((6, K, D_ENC)).astype(np.float32)
+    expected = tdec.batch_sample(torch.from_numpy(feats), start_id=3)
+    got, _ = jdec.apply({"params": params}, jnp.asarray(feats), 3,
+                        max_length=30,
+                        method=jdec.greedy_sample)
+    np.testing.assert_array_equal(np.asarray(got), expected)
+
+
+def test_teacher_forcing_logits_and_alphas_match(bridged):
+    tdec, jdec, params = bridged
+    rng = np.random.default_rng(2)
+    feats = rng.standard_normal((4, K, D_ENC)).astype(np.float32)
+    caps = rng.integers(0, VOCAB, (4, 9)).astype(np.int64)
+    exp_logits, exp_alphas = tdec.teacher_forcing(torch.from_numpy(feats),
+                                                  torch.from_numpy(caps))
+    logits, alphas = jdec.apply({"params": params}, jnp.asarray(feats),
+                                jnp.asarray(caps.astype(np.int32)),
+                                train=False, rng=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(logits), exp_logits, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(alphas), exp_alphas, atol=2e-5)
+
+
+class TorchNICDecoder(nn.Module):
+    """Reference-semantics NIC decoder (nic.py:61-175)."""
+
+    def __init__(self, d_emb=14, d_hid=10):
+        super().__init__()
+        self.embed = nn.Embedding(VOCAB, d_emb)
+        self.lstm = nn.LSTM(d_emb, d_hid, 2, batch_first=True)
+        self.linear = nn.Linear(d_hid, VOCAB)
+
+    @torch.no_grad()
+    def batch_sample(self, features, max_length=20):
+        inputs = features.unsqueeze(1)
+        states = None
+        out = []
+        for _ in range(max_length):
+            hiddens, states = self.lstm(inputs, states)
+            preds = self.linear(hiddens.squeeze(1)).softmax(1).argmax(1)
+            out.append(preds.numpy().copy())
+            inputs = self.embed(preds).unsqueeze(1)
+        return np.stack(out, axis=1)
+
+
+def test_nic_greedy_token_ids_match():
+    from depth_image_captioning_pub_tpu.models.nic import NICDecoder
+    from depth_image_captioning_pub_tpu.utils.torch_bridge import (
+        nic_decoder_to_flax)
+    torch.manual_seed(1)
+    tdec = TorchNICDecoder().eval()
+    params = jax.tree_util.tree_map(
+        jnp.asarray, nic_decoder_to_flax(_state_dict_np(tdec)))
+    jdec = NICDecoder(vocab_size=VOCAB, dim_embedding=14, dim_hidden=10,
+                      num_layers=2, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    feats = rng.standard_normal((5, 14)).astype(np.float32)
+    expected = tdec.batch_sample(torch.from_numpy(feats))
+    got = jdec.apply({"params": params}, jnp.asarray(feats), max_length=20,
+                     method=jdec.greedy_sample)
+    np.testing.assert_array_equal(np.asarray(got), expected)
