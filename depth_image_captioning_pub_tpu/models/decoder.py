@@ -202,7 +202,8 @@ class AttentionDecoder(nn.Module):
     def greedy_sample(self, features: jax.Array, start_id: int,
                       depth_features: Optional[jax.Array] = None, *,
                       max_length: int = 30,
-                      rng: Optional[jax.Array] = None
+                      rng: Optional[jax.Array] = None,
+                      use_pallas: bool = False
                       ) -> Tuple[jax.Array, jax.Array]:
         """Batched greedy decode: one lax.scan, zero host syncs.
 
@@ -210,7 +211,15 @@ class AttentionDecoder(nn.Module):
         Token-for-token equivalent of the reference's ``batch_sample``
         (base_caption_models.py:206-250); its ``softmax`` before argmax is
         monotone, so we argmax the logits directly.
+
+        ``use_pallas`` routes each step through the fused attention+LSTM
+        Pallas kernel (ops/pallas/decode_step.py; soft attention only —
+        hard attention falls back to the XLA path for its Gumbel noise).
         """
+        if use_pallas and self.attention_kind == "soft":
+            return self._greedy_sample_pallas(features, start_id,
+                                              depth_features,
+                                              max_length=max_length)
         features = self.fuse(features, depth_features).astype(self.dtype)
         features_proj = project_features(self._att_params(), features)
         state = self.init_state(features)
@@ -236,6 +245,50 @@ class AttentionDecoder(nn.Module):
         _, (tokens, alphas) = jax.lax.scan(
             step, (state, prev), jnp.arange(max_length))
         return jnp.swapaxes(tokens, 0, 1), jnp.swapaxes(alphas, 0, 1)
+
+    def _greedy_sample_pallas(self, features: jax.Array, start_id: int,
+                              depth_features: Optional[jax.Array], *,
+                              max_length: int) -> Tuple[jax.Array, jax.Array]:
+        """Greedy decode with the fused step kernel; vocab head in XLA."""
+        from depth_image_captioning_pub_tpu.ops.pallas.decode_step import (
+            fused_decode_core, pack_weights)
+        interpret = jax.default_backend() == "cpu"
+        features = self.fuse(features, depth_features).astype(self.dtype)
+        features_proj = project_features(self._att_params(), features)
+        state = self.init_state(features)
+        w = pack_weights(self.att_w_dec, self.att_b_dec,
+                         self.att_w_full[:, 0], self.att_b_full[0],
+                         self.f_beta_w, self.f_beta_b,
+                         self.lstm_w_ih, self.lstm_w_hh, self.lstm_b_ih,
+                         self.lstm_b_hh, dim_embedding=self.dim_embedding)
+        bsz = features.shape[0]
+        pad = (-bsz) % 8   # Mosaic needs batch blocks divisible by 8
+        if pad:
+            features = jnp.concatenate(
+                [features, jnp.repeat(features[:1], pad, axis=0)], axis=0)
+            features_proj = jnp.concatenate(
+                [features_proj, jnp.repeat(features_proj[:1], pad, axis=0)],
+                axis=0)
+            state = DecoderState(
+                jnp.concatenate([state.h, jnp.repeat(state.h[:1], pad, 0)], 0),
+                jnp.concatenate([state.c, jnp.repeat(state.c[:1], pad, 0)], 0))
+        prev = jnp.full((bsz + pad,), start_id, dtype=jnp.int32)
+
+        def step(carry, t):
+            (h, c), prev = carry
+            emb_t = jnp.take(self.embed, prev, axis=0)
+            h, c, alpha = fused_decode_core(features, features_proj, emb_t,
+                                            h, c, w, interpret=interpret)
+            logits = h @ self.out_w + self.out_b
+            token = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+            token = token.astype(jnp.int32)
+            return ((h, c), token), (token, alpha)
+
+        _, (tokens, alphas) = jax.lax.scan(
+            step, ((state.h, state.c), prev), jnp.arange(max_length))
+        tokens = jnp.swapaxes(tokens, 0, 1)[:bsz]
+        alphas = jnp.swapaxes(alphas, 0, 1)[:bsz]
+        return tokens, alphas
 
     # ---- beam search (new capability; the reference is greedy-only) --------
     def beam_sample(self, features: jax.Array, start_id: int, end_id: int,
