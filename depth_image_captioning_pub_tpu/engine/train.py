@@ -74,7 +74,9 @@ def train(kind: str, ext: int, use_data: str = "coco",
           num_epochs: Optional[int] = None,
           resnet_variables=None,
           quiet: bool = False,
-          resnet_layers=None) -> Dict[str, float]:
+          resnet_layers=None,
+          resume: bool = False,
+          checkpoint_every: int = 0) -> Dict[str, float]:
     """Train one configuration; returns summary metrics.
 
     kind: one of models.captioner.KINDS; ext: run index (0..2, the reference
@@ -152,11 +154,41 @@ def train(kind: str, ext: int, use_data: str = "coco",
             arrays["depth"] = provider(batch.images, batch.indices)
         return shard_batch(mesh, arrays)
 
-    rng = jax.random.PRNGKey(cfg.seed * 7919 + ext)
+    base_rng = jax.random.PRNGKey(cfg.seed * 7919 + ext)
     best_val = float("inf")
     epochs = num_epochs if num_epochs is not None else cfg.num_epochs
     summary: Dict[str, float] = {}
-    for epoch in range(epochs):
+
+    # crash-safe resume (new capability; the reference loses the run on any
+    # crash, SURVEY.md §5). The frozen backbone is rebuilt deterministically
+    # above, so the checkpoint carries only the mutable state.
+    start_epoch = 0
+    ckptr = None
+    if checkpoint_every or resume:
+        from depth_image_captioning_pub_tpu.utils.checkpoint import TrainCheckpointer
+        ckptr = TrainCheckpointer(
+            f"{save_directory}/full_state_{prefix}_{suffix}")
+        if resume and (last := ckptr.latest_step()) is not None:
+            template = {"params": state.params,
+                        "opt_state": state.opt_state,
+                        "batch_stats": state.batch_stats,
+                        "step": np.int32(0), "epoch": 0,
+                        "best_val": 0.0}
+            restored = ckptr.restore(last, template)
+            state = TrainState(restored["params"], restored["opt_state"],
+                               state.frozen, restored["batch_stats"],
+                               jnp.asarray(restored["step"]))
+            state = replicate(mesh, state)
+            start_epoch = int(restored["epoch"]) + 1
+            best_val = float(restored["best_val"])
+            if not quiet:
+                print(f"resumed from epoch {start_epoch - 1}")
+
+    train_loss = float("nan")
+    for epoch in range(start_epoch, epochs):
+        # per-epoch rng derivation keeps resumed runs identical to
+        # uninterrupted ones (sequential splitting would desync on resume)
+        rng = jax.random.fold_in(base_rng, epoch)
         temp = jnp.float32(gumbel_temperature(epoch, cfg.temp_sch))
         meter = ProgressMeter(cfg.moving_avg, desc=f"[epoch {epoch + 1}]",
                               quiet=quiet)
@@ -209,6 +241,15 @@ def train(kind: str, ext: int, use_data: str = "coco",
             _save_best(save_directory, prefix, suffix, sep, kind, state)
             if not quiet:
                 print("best model parameters are changed")
+
+        if ckptr is not None and checkpoint_every \
+                and (epoch + 1) % checkpoint_every == 0:
+            ckptr.save(epoch, {
+                "params": jax.device_get(state.params),
+                "opt_state": jax.device_get(state.opt_state),
+                "batch_stats": jax.device_get(state.batch_stats),
+                "step": np.int32(int(state.step)),
+                "epoch": epoch, "best_val": best_val})
     summary["best_val_loss"] = best_val
     summary["final_train_loss"] = train_loss
     return summary
