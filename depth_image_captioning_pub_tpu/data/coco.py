@@ -47,16 +47,18 @@ class CocoCaptions:
         return self._caps.get(self.ids[index], [])
 
     def load_image(self, index: int) -> np.ndarray:
-        """Decode + bilinear-resize one image -> float32 HWC in [0, 1].
+        """Decode + bilinear-resize one image -> uint8 HWC.
 
         Matches ``T.Resize((224,224)); T.ToTensor()`` (reference:
-        base_train.py:47-53) except layout is HWC (we keep NHWC end-to-end:
-        XLA's TPU conv layout) and normalization happens on-device.
+        base_train.py:47-53) except: layout is HWC (NHWC is XLA's TPU conv
+        layout), and the /255 + normalize happen on-device
+        (ops/image_ops.to_unit_float) — uint8 pixels cross PCIe with 4x
+        less traffic and identical numerics.
         """
         img = Image.open(self.image_path(index)).convert("RGB")
         if self.image_size is not None:
             img = img.resize(self.image_size[::-1], Image.BILINEAR)
-        return np.asarray(img, dtype=np.float32) / 255.0
+        return np.asarray(img, dtype=np.uint8)
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, List[str]]:
         return self.load_image(index), self.captions(index)

@@ -36,7 +36,7 @@ from depth_image_captioning_pub_tpu.data.tokenizer import SPECIAL, tokenize_capt
 class Batch(NamedTuple):
     """One fixed-shape training batch (NHWC images, padded captions)."""
 
-    images: np.ndarray        # [B, H, W, 3] float32 in [0,1]
+    images: np.ndarray        # [B, H, W, 3] uint8 (or float32 in [0,1])
     captions: np.ndarray      # [B, L] int32, <null>-padded
     lengths: np.ndarray       # [B] int32 (includes <start> and <end>)
     pad_mask: np.ndarray      # [B] bool, False for repeated padding samples
@@ -73,7 +73,7 @@ def make_train_batch(images: Sequence[np.ndarray],
     tokens = [tokenize_caption(rng.choice(list(caps)), word_to_id)
               for caps in caption_sets]
     captions, lengths = pad_captions(tokens, word_to_id[SPECIAL.null], max_len)
-    imgs = np.stack(images).astype(np.float32)
+    imgs = np.stack(images)  # uint8 from the dataset; device converts
     n = imgs.shape[0]
     target = batch_size or n
     idx = np.asarray(list(indices) if indices is not None else range(n),
@@ -103,7 +103,7 @@ def make_eval_batch(images: Sequence[np.ndarray],
     from depth_image_captioning_pub_tpu.data.tokenizer import untokenize_caption
     refs = [[untokenize_caption(c, word_to_id) for c in caps]
             for caps in caption_sets]
-    imgs = np.stack(images).astype(np.float32)
+    imgs = np.stack(images)  # uint8 from the dataset; device converts
     n = imgs.shape[0]
     target = batch_size or n
     pad_mask = np.ones((target,), dtype=bool)

@@ -48,7 +48,8 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
     """
     from depth_image_captioning_pub_tpu.models.decoder import AttentionDecoder
     from depth_image_captioning_pub_tpu.models.nic import NICDecoder
-    from depth_image_captioning_pub_tpu.ops.image_ops import imagenet_normalize
+    from depth_image_captioning_pub_tpu.ops.image_ops import (
+        imagenet_normalize, to_unit_float)
 
     if beam_size > 1 and end_id is None:
         raise ValueError("beam search needs end_id (<end> token)")
@@ -59,6 +60,7 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
     if cap.spec.is_nic:
         @jax.jit
         def caption_fn(frozen_enc, params, batch_stats, images, rng):
+            images = to_unit_float(images)
             feats = encoder_apply(frozen_enc, params["enc_linear"],
                                   imagenet_normalize(images))
             if beam_size > 1:
@@ -74,6 +76,7 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
 
     @jax.jit
     def caption_fn(frozen_enc, params, batch_stats, images, rng):
+        images = to_unit_float(images)
         feats = encoder_apply(frozen_enc, imagenet_normalize(images))
         dep = None
         if depth_encoder_apply is not None:

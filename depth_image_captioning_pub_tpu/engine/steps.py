@@ -31,7 +31,8 @@ import optax
 from flax import struct
 
 from depth_image_captioning_pub_tpu.engine.losses import caption_loss, nic_loss
-from depth_image_captioning_pub_tpu.ops.image_ops import imagenet_normalize
+from depth_image_captioning_pub_tpu.ops.image_ops import (
+    imagenet_normalize, to_unit_float)
 
 
 @struct.dataclass
@@ -76,7 +77,7 @@ def make_attention_train_step(
     """
 
     def loss_fn(params, frozen, batch_stats, batch, rng, temp):
-        images = imagenet_normalize(batch["images"])
+        images = imagenet_normalize(to_unit_float(batch["images"]))
         features = encoder_apply(frozen["encoder"], images)
         features = jax.lax.stop_gradient(features)
         new_stats = batch_stats
@@ -121,7 +122,7 @@ def make_attention_eval_step(
     """
 
     def step(state: TrainState, batch, rng):
-        images = imagenet_normalize(batch["images"])
+        images = imagenet_normalize(to_unit_float(batch["images"]))
         features = encoder_apply(state.frozen["encoder"], images)
         depth_features = None
         if depth_encoder_apply is not None:
@@ -148,7 +149,7 @@ def make_nic_train_step(encoder_apply: Callable, decoder_apply: Callable,
     linear_params, images)`` returns [B, dim_embedding]."""
 
     def loss_fn(params, frozen, batch, rng):
-        images = imagenet_normalize(batch["images"])
+        images = imagenet_normalize(to_unit_float(batch["images"]))
         features = encoder_apply(frozen["encoder"], params["enc_linear"],
                                  images)
         logits = decoder_apply(params["decoder"], features,
@@ -171,7 +172,7 @@ def make_nic_train_step(encoder_apply: Callable, decoder_apply: Callable,
 def make_nic_eval_step(encoder_apply: Callable,
                        decoder_apply: Callable) -> Callable:
     def step(state: TrainState, batch):
-        images = imagenet_normalize(batch["images"])
+        images = imagenet_normalize(to_unit_float(batch["images"]))
         features = encoder_apply(state.frozen["encoder"],
                                  state.params["enc_linear"], images)
         logits = decoder_apply(state.params["decoder"], features,

@@ -93,9 +93,15 @@ def sample_directory(sample_dir: str, out_dir: str,
         caption = " ".join(words)
         captions[path] = caption
         stem = os.path.splitext(os.path.basename(path))[0]
+        img_out_dir = os.path.join(out_dir, stem)
+        os.makedirs(img_out_dir, exist_ok=True)
+        # input.png alongside the overlays (reference: base_evaluation.py:
+        # 288-293 saves the resized input per image)
+        Image.fromarray((arr * 255).astype(np.uint8)).save(
+            os.path.join(img_out_dir, "input.png"))
         if kept_alphas:
             render_attention_overlays(arr, words, np.stack(kept_alphas),
-                                      os.path.join(out_dir, stem))
+                                      img_out_dir)
         lines.append(f"{os.path.basename(path)}: {caption}")
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "caption.txt"), "w") as f:

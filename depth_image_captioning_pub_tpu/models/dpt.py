@@ -407,9 +407,11 @@ class DPTDepthEstimator:
         resize 384 + normalize + DPT + standardize + resize 224;
         util.py:14-17, depth_train.py:184-194)."""
         from depth_image_captioning_pub_tpu.ops.image_ops import (
-            dpt_normalize, resize_bilinear, standardize_depth_map)
+            dpt_normalize, resize_bilinear, standardize_depth_map,
+            to_unit_float)
 
         def fn(images_01):
+            images_01 = to_unit_float(images_01)
             x = resize_bilinear(images_01, (self.image_size, self.image_size))
             x = dpt_normalize(x)
             depth = self.model.apply(variables, x)[..., None]

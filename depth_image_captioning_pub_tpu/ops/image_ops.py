@@ -18,6 +18,18 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
+def to_unit_float(images: jax.Array) -> jax.Array:
+    """uint8 [0,255] -> float32 [0,1]; float input passes through.
+
+    The pipeline ships raw uint8 pixels across PCIe (4x less traffic than
+    float32; bitwise-identical to dividing on host, which is what
+    ``T.ToTensor`` did in the reference) and converts on-device.
+    """
+    if jnp.issubdtype(images.dtype, jnp.integer):
+        return images.astype(jnp.float32) / 255.0
+    return images
+
+
 def imagenet_normalize(images: jax.Array) -> jax.Array:
     """[B,H,W,3] in [0,1] -> ImageNet-normalized (reference: util.py:13)."""
     mean = jnp.asarray(IMAGENET_MEAN, dtype=images.dtype)
