@@ -44,7 +44,8 @@ def _load_vocabs(w2i_path, i2w_path):
 
 
 def score_mode(atten: str, use_data: str, cfg: ConfigEval, kind_prefix="base",
-               depth=False, depth_fn=None, num_sets=3, beam_size=1) -> int:
+               depth=False, depth_fn=None, dpt_variables=None, num_sets=3,
+               beam_size=1) -> int:
     from depth_image_captioning_pub_tpu.engine.evaluate import evaluate
     w2i_p, i2w_p, anno, index_file, use_ori = eval_data_selection(cfg, use_data)
     word_to_id, id_to_word = _load_vocabs(w2i_p, i2w_p)
@@ -61,7 +62,8 @@ def score_mode(atten: str, use_data: str, cfg: ConfigEval, kind_prefix="base",
         return load_eval_components(save_directory, tables[set_idx], cap)
 
     scores = evaluate(kind, use_data, cap, loader, ds, word_to_id,
-                      id_to_word, cfg, depth_fn=depth_fn, num_sets=num_sets,
+                      id_to_word, cfg, depth_fn=depth_fn,
+                      dpt_variables=dpt_variables, num_sets=num_sets,
                       beam_size=beam_size,
                       scores_pickle=f"{save_directory}/{use_data}_scores.pkl")
     print({k: float(np.mean(v)) for k, v in scores.items()})
@@ -69,7 +71,7 @@ def score_mode(atten: str, use_data: str, cfg: ConfigEval, kind_prefix="base",
 
 
 def sample_mode(atten: str, pic_name: str, use_data: str, cfg: ConfigEval,
-                depth=False, depth_fn=None) -> int:
+                depth=False, depth_fn=None, dpt_variables=None) -> int:
     import jax
     import jax.numpy as jnp
     from depth_image_captioning_pub_tpu.data.tokenizer import SPECIAL
@@ -95,18 +97,18 @@ def sample_mode(atten: str, pic_name: str, use_data: str, cfg: ConfigEval,
     start_id = word_to_id[SPECIAL.start]
 
     @jax.jit
-    def run(img):
+    def run(img, dpt_vars):
         feats = enc_apply(frozen_enc, imagenet_normalize(img))
         dep = None
         if dep_apply is not None:
-            dmap = depth_fn(img)
+            dmap = depth_fn(dpt_vars, img)
             dep, _ = dep_apply(params["depth_encoder"], stats, dmap,
                                train=False)
         return samp(params["decoder"], feats, start_id, dep,
                     max_length=cfg.max_length, rng=jax.random.PRNGKey(0))
 
     def caption_one(arr):
-        toks, alphas = run(jnp.asarray(arr)[None])
+        toks, alphas = run(jnp.asarray(arr)[None], dpt_variables)
         return np.asarray(toks)[0], np.asarray(alphas)[0]
 
     src = cfg.sample_dirs[pic_name]

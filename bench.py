@@ -25,6 +25,13 @@ import time
 
 import numpy as np
 
+try:  # persistent XLA compile cache (cold DPT/ResNet compiles are minutes)
+    import jax as _jax
+    _jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass
+
 VOCAB = 9956          # COCO vocab size ballpark (min-count-3 build)
 N_IMAGES = 4000       # np_val_index.npy subset size
 BATCH = 100
@@ -59,12 +66,12 @@ def bench_tpu() -> float:
     key = jax.random.PRNGKey(0)
 
     # warmup: compile + absorb the one-time D2H path warmup
-    out = fn(frozen["encoder"], params, stats, staged[0], key)
+    out = fn(frozen, params, stats, staged[0], key)
     np.asarray(out)
 
     n_batches = N_IMAGES // BATCH
     t0 = time.perf_counter()
-    outs = [fn(frozen["encoder"], params, stats, staged[i % n_stage], key)
+    outs = [fn(frozen, params, stats, staged[i % n_stage], key)
             for i in range(n_batches)]
     tokens = np.asarray(jnp.concatenate(outs, axis=0))
     dt = time.perf_counter() - t0

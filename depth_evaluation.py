@@ -49,17 +49,18 @@ def main(argv=None):
         if args[2] not in evaluation_datas:
             print("input coco or rem_coco or rem_original")
             return 1
-        depth_fn = make_depth_fn(cfg)
+        depth_fn, dpt_vars = make_depth_fn(cfg)
         return base_cli.score_mode(args[0], args[2], cfg, depth=True,
-                                    depth_fn=depth_fn, num_sets=num_sets,
-                                    beam_size=beam_size)
+                                   depth_fn=depth_fn, dpt_variables=dpt_vars,
+                                   num_sets=num_sets, beam_size=beam_size)
     if len(args) == 4 and args[1] == "sample":
         if args[3] not in sample_datas:
             print("input coco or original")
             return 1
-        depth_fn = make_depth_fn(cfg)
+        depth_fn, dpt_vars = make_depth_fn(cfg)
         return base_cli.sample_mode(args[0], args[2], args[3], cfg,
-                                    depth=True, depth_fn=depth_fn)
+                                    depth=True, depth_fn=depth_fn,
+                                    dpt_variables=dpt_vars)
     print("depth_evaluation.py {soft/hard} {score/sample sample_pic} {useData}")
     return 1
 

@@ -39,7 +39,10 @@ def seed_everything(seed: int = 123) -> None:
 
 
 def make_depth_fn(cfg, dtype=None):
-    """Build the DPT provider chain; loads Omnidata weights when configured.
+    """Build the DPT provider chain; returns (pure_fn, variables) where
+    pure_fn(variables, images) -> standardized depth maps. Variables stay a
+    runtime argument (closing 123M params into the jit graph overflows the
+    remote compiler — see models/dpt.DPTDepthEstimator.depth_fn).
 
     The reference hardcodes /home/shirota/... (DPT_model.py:23); here the
     path comes from cfg.dpt_weights / $DPT_WEIGHTS, falling back to random
@@ -64,7 +67,7 @@ def make_depth_fn(cfg, dtype=None):
         print("WARNING: no DPT weights found (set --dpt-weights or "
               "$DPT_WEIGHTS); using random init — depth maps will be noise")
         variables = est.init(jax.random.PRNGKey(0))
-    return est.depth_fn(variables)
+    return est.depth_fn(), variables
 
 
 def load_resnet_variables(cfg) -> Optional[dict]:

@@ -41,9 +41,9 @@ class DepthMapCache:
             meta = json.load(f)
         return tuple(meta["shape"]) == self.shape and meta.get("complete")
 
-    def build(self, dataset, depth_fn: Callable, batch_size: int = 32,
-              quiet: bool = False) -> None:
-        """Run ``depth_fn`` (jitted DPT provider chain) over the dataset."""
+    def build(self, dataset, depth_fn: Callable, dpt_variables,
+              batch_size: int = 32, quiet: bool = False) -> None:
+        """Run ``depth_fn(variables, images)`` over the dataset."""
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         mm = np.lib.format.open_memmap(self.path, mode="w+",
                                        dtype=np.float16, shape=self.shape)
@@ -55,7 +55,7 @@ class DepthMapCache:
             if len(idx) < batch_size:  # static shape for jit
                 pad = batch_size - len(idx)
                 imgs = np.concatenate([imgs, imgs[:1].repeat(pad, 0)])
-            maps = np.asarray(fn(jnp.asarray(imgs)))[: len(idx)]
+            maps = np.asarray(fn(dpt_variables, jnp.asarray(imgs)))[: len(idx)]
             mm[idx[0]: idx[-1] + 1] = maps.astype(np.float16)
             if not quiet and (start // batch_size) % 10 == 0:
                 print(f"depth cache: {start + len(idx)}/{n}")
@@ -80,13 +80,15 @@ def cached_depth_provider(cache: DepthMapCache) -> Callable:
     return provider
 
 
-def online_depth_provider(depth_fn: Callable) -> Callable:
+def online_depth_provider(depth_fn: Callable, dpt_variables) -> Callable:
     """Compute depth maps on-device per batch (used when no cache exists,
     and always for eval — the reference's eval also recomputes per batch,
-    depth_evaluation.py:154-158)."""
+    depth_evaluation.py:154-158). ``depth_fn(variables, images)`` is pure;
+    variables stay a runtime argument (jit-constant DPT params overflow the
+    remote compiler)."""
     fn = jax.jit(depth_fn)
 
     def provider(images_01: np.ndarray, indices=None) -> np.ndarray:
-        return np.asarray(fn(jnp.asarray(images_01)))
+        return np.asarray(fn(dpt_variables, jnp.asarray(images_01)))
 
     return provider

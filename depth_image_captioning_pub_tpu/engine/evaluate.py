@@ -39,9 +39,13 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
                     length_penalty: float = 0.0) -> Callable:
     """Build the jitted end-to-end caption function for one model config.
 
-    Returns fn(frozen_encoder_vars, trainable_params, batch_stats, images,
-    rng) -> tokens [B, max_length] int32. ``depth_fn(images)`` (traced, on-
-    device) produces standardized [B,224,224,1] depth maps for depth kinds.
+    Returns fn(frozen, trainable_params, batch_stats, images, rng) ->
+    tokens [B, max_length] int32, where ``frozen`` is the frozen-variables
+    dict: {"encoder": ..., "dpt": ...}. ``depth_fn(dpt_vars, images)`` is a
+    PURE function producing standardized [B,224,224,1] depth maps; DPT
+    variables ride in ``frozen["dpt"]`` as runtime arguments (closing 123M
+    params into the jit graph overflows the remote compiler with HTTP 413
+    and would bake weights into the executable).
 
     ``beam_size=1`` is the reference's greedy decode (token-ID parity path);
     ``beam_size>1`` switches to batched beam search (requires ``end_id``).
@@ -59,9 +63,9 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
 
     if cap.spec.is_nic:
         @jax.jit
-        def caption_fn(frozen_enc, params, batch_stats, images, rng):
+        def caption_fn(frozen, params, batch_stats, images, rng):
             images = to_unit_float(images)
-            feats = encoder_apply(frozen_enc, params["enc_linear"],
+            feats = encoder_apply(frozen["encoder"], params["enc_linear"],
                                   imagenet_normalize(images))
             if beam_size > 1:
                 tokens, _ = cap.decoder.apply(
@@ -75,12 +79,12 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
         return caption_fn
 
     @jax.jit
-    def caption_fn(frozen_enc, params, batch_stats, images, rng):
+    def caption_fn(frozen, params, batch_stats, images, rng):
         images = to_unit_float(images)
-        feats = encoder_apply(frozen_enc, imagenet_normalize(images))
+        feats = encoder_apply(frozen["encoder"], imagenet_normalize(images))
         dep = None
         if depth_encoder_apply is not None:
-            depth_maps = depth_fn(images)
+            depth_maps = depth_fn(frozen["dpt"], images)
             dep, _ = depth_encoder_apply(params["depth_encoder"],
                                          batch_stats, depth_maps,
                                          train=False)
@@ -97,7 +101,7 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
     return caption_fn
 
 
-def generate_captions(caption_fn: Callable, frozen_enc, params, batch_stats,
+def generate_captions(caption_fn: Callable, frozen, params, batch_stats,
                       dataset, word_to_id: Dict[str, int],
                       id_to_word: Dict[int, str], batch_size: int,
                       rng: Optional[jax.Array] = None,
@@ -124,7 +128,7 @@ def generate_captions(caption_fn: Callable, frozen_enc, params, batch_stats,
     for i, batch in enumerate(it):
         refs.extend(batch.references)
         rng, key = jax.random.split(rng)
-        tokens = caption_fn(frozen_enc, params, batch_stats,
+        tokens = caption_fn(frozen, params, batch_stats,
                             jnp.asarray(batch.images), key)
         pending.append((tokens, int(batch.pad_mask.sum())))
         if len(pending) > 1:
@@ -139,6 +143,7 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
              dataset, word_to_id: Dict[str, int], id_to_word: Dict[int, str],
              cfg: Optional[ConfigEval] = None,
              depth_fn: Optional[Callable] = None,
+             dpt_variables=None,
              num_sets: int = 3,
              scores_pickle: Optional[str] = None,
              beam_size: int = 1,
@@ -156,8 +161,11 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
     scores: Dict[str, List[float]] = {k: [] for k in METRIC_KEYS}
     for set_idx in range(1, num_sets + 1):
         frozen_enc, params, batch_stats = checkpoint_loader(set_idx)
+        frozen = {"encoder": frozen_enc}
+        if dpt_variables is not None:
+            frozen["dpt"] = dpt_variables
         hypos, refs = generate_captions(
-            caption_fn, frozen_enc, params, batch_stats, dataset,
+            caption_fn, frozen, params, batch_stats, dataset,
             word_to_id, id_to_word, cfg.batch_size,
             rng=jax.random.PRNGKey(set_idx), max_length=cfg.max_length)
         ref, hypo = load_textfiles(refs, hypos)

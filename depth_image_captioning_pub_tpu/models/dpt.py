@@ -401,16 +401,21 @@ class DPTDepthEstimator:
             dpt_to_flax, load_state_dict)
         return dpt_to_flax(load_state_dict(path))
 
-    def depth_fn(self, variables):
-        """Returns traced fn: images_01 [B,224,224,3] -> standardized
-        [B,224,224,1] depth maps (the full reference pipeline:
-        resize 384 + normalize + DPT + standardize + resize 224;
-        util.py:14-17, depth_train.py:184-194)."""
+    def depth_fn(self):
+        """Returns the pure fn(variables, images) -> standardized
+        [B,224,224,1] depth maps (the full reference pipeline: resize 384 +
+        normalize + DPT + standardize + resize 224; util.py:14-17,
+        depth_train.py:184-194).
+
+        Variables are an explicit ARGUMENT, never a closure: closing over
+        the ~123M DPT params would bake them into the jitted program as
+        literals (a >100MB MLIR payload — the remote compiler rejects it
+        with HTTP 413, and it would recompile on every weight change)."""
         from depth_image_captioning_pub_tpu.ops.image_ops import (
             dpt_normalize, resize_bilinear, standardize_depth_map,
             to_unit_float)
 
-        def fn(images_01):
+        def fn(variables, images_01):
             images_01 = to_unit_float(images_01)
             x = resize_bilinear(images_01, (self.image_size, self.image_size))
             x = dpt_normalize(x)

@@ -57,7 +57,7 @@ def main(argv=None):
     atten, enc_kind, use_data = args
     kind = f"depth-{atten}" if enc_kind == "cnn" else f"mdepth-{atten}"
 
-    depth_fn = make_depth_fn(cfg)
+    depth_fn, dpt_vars = make_depth_fn(cfg)
     if flags["cache"]:
         # materialize depth maps once for the train set (replaces the
         # reference's epoch-0 caption-keyed dict, depth_train.py:184-202)
@@ -68,11 +68,11 @@ def main(argv=None):
         cache = DepthMapCache(f"{cfg.save_dir('depth_' + atten, use_ori)}"
                               f"/depth_cache_{use_data}.npy", len(train_ds))
         if not cache.exists():
-            cache.build(train_ds, depth_fn)
+            cache.build(train_ds, depth_fn, dpt_vars)
         provider = cached_depth_provider(cache)
-        val_provider = online_depth_provider(depth_fn)
+        val_provider = online_depth_provider(depth_fn, dpt_vars)
     else:
-        provider = online_depth_provider(depth_fn)
+        provider = online_depth_provider(depth_fn, dpt_vars)
         val_provider = provider
 
     resnet = load_resnet_variables(cfg)

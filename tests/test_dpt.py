@@ -231,8 +231,8 @@ def test_depth_estimator_pipeline(tiny_dpt):
     est.image_size = 64
     variables = est.model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 64, 64, 3)))
-    fn = jax.jit(est.depth_fn(variables))
-    out = fn(jnp.asarray(np.random.default_rng(0).random(
+    fn = jax.jit(est.depth_fn())
+    out = fn(variables, jnp.asarray(np.random.default_rng(0).random(
         (2, 224, 224, 3), dtype=np.float32)))
     assert out.shape == (2, 224, 224, 1)
     vals = np.asarray(out)

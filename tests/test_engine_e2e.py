@@ -89,7 +89,7 @@ def test_generate_and_evaluate(fixture_env, tmp_path):
                                      image_hw=(64, 64))
     from depth_image_captioning_pub_tpu.data.tokenizer import SPECIAL
     fn = make_caption_fn(cap, w2i[SPECIAL.start], max_length=8)
-    hypos, refs = generate_captions(fn, frozen["encoder"], params, stats,
+    hypos, refs = generate_captions(fn, frozen, params, stats,
                                     ds, w2i, i2w, batch_size=4)
     assert len(hypos) == len(ds) and len(refs) == len(ds)
     assert all(isinstance(h, str) for h in hypos)

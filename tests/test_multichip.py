@@ -95,9 +95,9 @@ def test_sharded_greedy_decode(rng):
     mesh = make_mesh()
     imgs = rng.random((16, 64, 64, 3), dtype=np.float32)
     dev_imgs = shard_batch(mesh, {"images": imgs})["images"]
-    rep = replicate(mesh, (frozen["encoder"], params, stats))
+    rep = replicate(mesh, (frozen, params, stats))
     toks_sharded = fn(rep[0], rep[1], rep[2], dev_imgs, jax.random.PRNGKey(0))
-    toks_single = fn(frozen["encoder"], params, stats, jnp.asarray(imgs),
+    toks_single = fn(frozen, params, stats, jnp.asarray(imgs),
                      jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(toks_sharded),
                                   np.asarray(toks_single))
