@@ -95,6 +95,11 @@ class ConfigTrain:
     # Logging (reference: config.py:71)
     moving_avg: int = 100
     log_jsonl: bool = True            # structured metrics alongside CSVs
+    # jax.profiler trace dir (new; reference had no profiling, SURVEY.md §5).
+    # When set, the train loop traces steps [profile_start, profile_stop).
+    profile_dir: Optional[str] = None
+    profile_start: int = 10
+    profile_stop: int = 15
 
     def save_dir(self, kind: str, use_ori: bool) -> str:
         table = {

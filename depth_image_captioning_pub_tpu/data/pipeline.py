@@ -114,6 +114,15 @@ def make_eval_batch(images: Sequence[np.ndarray],
     return EvalBatch(imgs, refs, pad_mask)
 
 
+def generate_subset(dataset, ratio: float, random_seed: int = 0):
+    """Two disjoint shuffled index sets split at ratio (API parity with the
+    reference's unused helper, util.py:30-44: same seed -> same split)."""
+    size = int(len(dataset) * ratio)
+    indices = list(range(len(dataset)))
+    random.Random(random_seed).shuffle(indices)
+    return indices[:size], indices[size:]
+
+
 def batched_indices(n: int, batch_size: int, shuffle: bool,
                     rng: Optional[random.Random] = None) -> List[List[int]]:
     idx = list(range(n))

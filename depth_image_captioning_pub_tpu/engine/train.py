@@ -200,11 +200,16 @@ def train(kind: str, ext: int, use_data: str = "coco",
         for batch in it:
             rng, step_rng = jax.random.split(rng)
             dev_batch = to_device(batch, step_rng)
+            step_no = int(state.step)
+            if cfg.profile_dir and step_no == cfg.profile_start:
+                jax.profiler.start_trace(cfg.profile_dir)
             if kind == "nic":
                 state, metrics = step_fn(state, dev_batch, step_rng)
             else:
                 state, metrics = step_fn(state, dev_batch, step_rng, temp)
             loss = float(metrics["loss"])
+            if cfg.profile_dir and step_no + 1 == cfg.profile_stop:
+                jax.profiler.stop_trace()
             losses.append(loss)
             meter.update(loss)
         meter.close()
