@@ -60,6 +60,16 @@ class CocoCaptions:
             img = img.resize(self.image_size[::-1], Image.BILINEAR)
         return np.asarray(img, dtype=np.uint8)
 
+    def load_images_batch(self, indices) -> np.ndarray:
+        """Batched decode via the native loader (threaded libjpeg with
+        DCT-domain scaling; PIL fallback) -> [N, H, W, 3] uint8."""
+        from depth_image_captioning_pub_tpu.data.native_loader import (
+            available, decode_batch)
+        if self.image_size is None or not available():
+            return np.stack([self.load_image(i) for i in indices])
+        return decode_batch([self.image_path(i) for i in indices],
+                            self.image_size)
+
     def __getitem__(self, index: int) -> Tuple[np.ndarray, List[str]]:
         return self.load_image(index), self.captions(index)
 
@@ -82,6 +92,9 @@ class Subset:
 
     def load_image(self, i: int) -> np.ndarray:
         return self.dataset.load_image(self.indices[i])
+
+    def load_images_batch(self, idxs) -> np.ndarray:
+        return self.dataset.load_images_batch([self.indices[i] for i in idxs])
 
 
 def load_index_file(path: str) -> List[int]:

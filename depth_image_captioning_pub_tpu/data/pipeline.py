@@ -148,17 +148,24 @@ def train_batches(dataset, word_to_id: Dict[str, int], batch_size: int,
         rng.shuffle(order)
     chunks = [order[i: i + batch_size] for i in range(0, len(order), batch_size)]
     for chunk in chunks:
-        imgs = [dataset.load_image(i) for i in chunk]
+        imgs = _load_chunk(dataset, chunk)
         caps = [dataset.captions(i) for i in chunk]
         yield make_train_batch(imgs, caps, word_to_id, max_len, rng,
                                batch_size=pad_to or batch_size,
                                indices=chunk)
 
 
+def _load_chunk(dataset, chunk):
+    """Batched decode when the dataset supports it (native loader path)."""
+    if hasattr(dataset, "load_images_batch"):
+        return list(dataset.load_images_batch(chunk))
+    return [dataset.load_image(i) for i in chunk]
+
+
 def eval_batches(dataset, word_to_id: Dict[str, int], batch_size: int,
                  pad_to: Optional[int] = None) -> Iterator[EvalBatch]:
     for chunk in batched_indices(len(dataset), batch_size, shuffle=False):
-        imgs = [dataset.load_image(i) for i in chunk]
+        imgs = _load_chunk(dataset, chunk)
         caps = [dataset.captions(i) for i in chunk]
         yield make_eval_batch(imgs, caps, word_to_id,
                               batch_size=pad_to or batch_size)

@@ -1,0 +1,90 @@
+"""Native (C++/libjpeg) batch image loader tests: builds via g++, decodes
+close to PIL, beats PIL on throughput, and falls back cleanly."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from depth_image_captioning_pub_tpu.data import native_loader
+
+
+@pytest.fixture(scope="module")
+def jpeg_dir(tmp_path_factory):
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    d = tmp_path_factory.mktemp("jpegs")
+    paths = []
+    for i in range(12):
+        # smooth-ish image so JPEG artifacts stay small for the PIL diff
+        base = rng.integers(0, 255, (30, 40, 3)).astype(np.uint8)
+        img = Image.fromarray(base).resize((640, 480), Image.BILINEAR)
+        p = str(d / f"img{i}.jpg")
+        img.save(p, quality=95)
+        paths.append(p)
+    return paths
+
+
+def test_builds_and_available():
+    assert native_loader.available(), "g++/libjpeg build failed"
+    assert os.path.exists(native_loader._LIB)
+
+
+def test_decodes_close_to_pil(jpeg_dir):
+    from PIL import Image
+    out = native_loader.decode_batch(jpeg_dir[:4], (224, 224))
+    assert out.shape == (4, 224, 224, 3) and out.dtype == np.uint8
+    for i, p in enumerate(jpeg_dir[:4]):
+        pil = np.asarray(Image.open(p).convert("RGB").resize(
+            (224, 224), Image.BILINEAR), dtype=np.float32)
+        diff = np.abs(out[i].astype(np.float32) - pil)
+        # resamplers differ (DCT-scaled decode + plain bilinear vs PIL's
+        # antialiased bilinear); require close agreement on smooth content
+        assert diff.mean() < 8.0, diff.mean()
+
+
+def test_fallback_on_non_jpeg(tmp_path, jpeg_dir):
+    from PIL import Image
+    png = str(tmp_path / "x.png")
+    Image.fromarray(np.full((50, 60, 3), 128, np.uint8)).save(png)
+    out = native_loader.decode_batch([jpeg_dir[0], png], (64, 64))
+    assert out.shape == (2, 64, 64, 3)
+    assert abs(int(out[1].mean()) - 128) <= 1  # PNG decoded via PIL fallback
+
+
+def test_faster_than_pil(jpeg_dir):
+    from PIL import Image
+    paths = jpeg_dir * 4  # 48 decodes
+    t0 = time.perf_counter()
+    native_loader.decode_batch(paths, (224, 224))
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for p in paths:
+        np.asarray(Image.open(p).convert("RGB").resize((224, 224),
+                                                       Image.BILINEAR))
+    t_pil = time.perf_counter() - t0
+    # must not be slower; typically 2-4x faster even single-core thanks to
+    # DCT-domain scaling
+    assert t_native < t_pil, (t_native, t_pil)
+
+
+def test_dataset_batch_path(jpeg_dir, tmp_path):
+    """CocoCaptions.load_images_batch uses the native loader."""
+    import json
+    from depth_image_captioning_pub_tpu.data.coco import CocoCaptions
+    images = [{"id": i, "file_name": os.path.basename(p)}
+              for i, p in enumerate(jpeg_dir)]
+    ann = {"images": images,
+           "annotations": [{"id": i, "image_id": i, "caption": "a b c"}
+                           for i in range(len(jpeg_dir))]}
+    ann_path = str(tmp_path / "ann.json")
+    with open(ann_path, "w") as f:
+        json.dump(ann, f)
+    ds = CocoCaptions(os.path.dirname(jpeg_dir[0]), ann_path,
+                      image_size=(96, 96))
+    batch = ds.load_images_batch([0, 3, 5])
+    assert batch.shape == (3, 96, 96, 3) and batch.dtype == np.uint8
+    single = ds.load_image(3)
+    # batched native decode and the PIL single path agree closely
+    assert np.abs(batch[1].astype(int) - single.astype(int)).mean() < 8.0
