@@ -119,7 +119,7 @@ def sample_mode(atten: str, pic_name: str, use_data: str, cfg: ConfigEval,
     return 0
 
 
-def nic_mode(cfg: ConfigEval, num_sets=3) -> int:
+def nic_mode(cfg: ConfigEval, num_sets=3, beam_size=1) -> int:
     """NIC scoring (reference: nic.py:360-455)."""
     from depth_image_captioning_pub_tpu.engine.evaluate import evaluate
     word_to_id, id_to_word = _load_vocabs(cfg.word_to_id_file,
@@ -134,7 +134,7 @@ def nic_mode(cfg: ConfigEval, num_sets=3) -> int:
                                     cfg.nic_parameter_files[set_idx], cap)
 
     scores = evaluate("nic", "coco", cap, loader, ds, word_to_id, id_to_word,
-                      cfg, num_sets=num_sets,
+                      cfg, num_sets=num_sets, beam_size=beam_size,
                       scores_pickle=f"{cfg.save_directory_nic}/nic_scores.pkl")
     print({k: float(np.mean(v)) for k, v in scores.items()})
     return 0
@@ -170,7 +170,7 @@ def main(argv=None):
             return 1
         return sample_mode(args[0], args[2], args[3], cfg)
     if args and args[0] == "nic":
-        return nic_mode(cfg, num_sets=num_sets)
+        return nic_mode(cfg, num_sets=num_sets, beam_size=beam_size)
     print("base_evaluation.py {soft/hard} {score/sample sample_pic} {useData}")
     return 1
 

@@ -15,7 +15,6 @@ batch is the main single-chip speedup lever (SURVEY.md §7 step 4).
 
 from __future__ import annotations
 
-import functools
 import pickle
 from typing import Callable, Dict, List, Optional, Tuple
 

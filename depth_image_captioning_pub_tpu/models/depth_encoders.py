@@ -40,13 +40,6 @@ class DepthCNNEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, depth: jax.Array, *, train: bool = False) -> jax.Array:
-        def conv(feat, k, s, name):
-            return nn.Conv(feat, (k, k), strides=(s, s), padding="VALID",
-                           dtype=self.dtype, param_dtype=jnp.float32,
-                           kernel_init=torch_conv_kernel,
-                           bias_init=torch_bias(k * k * depth.shape[-1]),
-                           name=name)
-
         def bn(name):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, dtype=self.dtype,
