@@ -309,22 +309,46 @@ class AttentionDecoder(nn.Module):
         features_proj = project_features(self._att_params(), features)
         state0 = self.init_state(features)
         batch = features.shape[0]
-        tiled = tile_for_beams(
-            {"features": features, "proj": features_proj,
-             "h": state0.h, "c": state0.c}, beam_size)
+        w_beams = beam_size
+        tiled = tile_for_beams({"h": state0.h, "c": state0.c}, beam_size)
         if rng is None:
             if self.attention_kind == "hard":
                 raise ValueError("rng required for hard attention")
             rng = jax.random.PRNGKey(0)
+        ap = self._att_params()
+
+        # Beam-aware attention: features/proj stay [B,K,*] and every einsum
+        # carries the beam axis, so the big [B,K,D] feature read happens
+        # ONCE per image per step instead of once per beam (a tiled layout
+        # would stream beam_size x the HBM traffic through the context
+        # matmul — the dominant cost at D=2048).
+        def attend(h_bw, key):
+            h3 = h_bw.reshape(batch, w_beams, -1)
+            dec = jnp.einsum("bwh,ha->bwa", h3, ap.w_dec,
+                             preferred_element_type=h_bw.dtype) + ap.b_dec
+            act = jax.nn.relu(features_proj[:, None] + dec[:, :, None, :])
+            e = jnp.einsum("bwka,a->bwk", act, ap.w_full,
+                           preferred_element_type=jnp.float32) + ap.b_full
+            if self.attention_kind == "hard":
+                g = jax.random.gumbel(key, e.shape, dtype=jnp.float32)
+                pos = jnp.argmax(e + g, axis=-1)                 # [B, W]
+                alpha = jax.nn.one_hot(pos, e.shape[-1],
+                                       dtype=features.dtype)
+            else:
+                alpha = jax.nn.softmax(e, axis=-1).astype(features.dtype)
+            ctx = jnp.einsum("bwk,bkd->bwd", alpha, features,
+                             preferred_element_type=features.dtype)
+            return ctx.reshape(batch * w_beams, -1)
 
         def step_fn(state, prev, t):
             h, c = state["h"], state["c"]
             emb_t = jnp.take(self.embed, prev, axis=0)
             key = jax.random.fold_in(rng, t)
-            (h, c), logits, _ = self._step(
-                DecoderState(h, c), emb_t, tiled["features"], tiled["proj"],
-                train=False, temp=jnp.float32(1.0), key=key,
-                dropout_key=key)
+            context = attend(h, key)
+            gate = jax.nn.sigmoid(h @ self.f_beta_w + self.f_beta_b)
+            x = jnp.concatenate([emb_t, gate * context], axis=-1)
+            h, c = lstm_cell(self._lstm_params(), x, h, c)
+            logits = h @ self.out_w + self.out_b
             logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
             return {"h": h, "c": c}, logprobs
 
