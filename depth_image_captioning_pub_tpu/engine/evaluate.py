@@ -94,8 +94,11 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
                 length_penalty=length_penalty, rng=rng,
                 method=AttentionDecoder.beam_sample)
             return tokens
+        # end_id (when known) turns on early-exit greedy decode: the scan
+        # stops once every caption in the batch has emitted <end>
         tokens, _ = sample_apply(params["decoder"], feats, start_id, dep,
-                                 max_length=max_length, rng=rng)
+                                 max_length=max_length, rng=rng,
+                                 end_id=end_id)
         return tokens
     return caption_fn
 

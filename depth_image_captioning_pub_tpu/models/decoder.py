@@ -203,7 +203,8 @@ class AttentionDecoder(nn.Module):
                       depth_features: Optional[jax.Array] = None, *,
                       max_length: int = 30,
                       rng: Optional[jax.Array] = None,
-                      use_pallas: bool = False
+                      use_pallas: bool = False,
+                      end_id: Optional[int] = None
                       ) -> Tuple[jax.Array, jax.Array]:
         """Batched greedy decode: one lax.scan, zero host syncs.
 
@@ -215,7 +216,18 @@ class AttentionDecoder(nn.Module):
         ``use_pallas`` routes each step through the fused attention+LSTM
         Pallas kernel (ops/pallas/decode_step.py; soft attention only —
         hard attention falls back to the XLA path for its Gumbel noise).
+
+        ``end_id`` enables early exit: decoding stops once every sequence in
+        the batch has emitted <end> (a ``lax.while_loop`` instead of the
+        fixed scan — trained captions average ~12 tokens, so this skips more
+        than half of the 30 steps); remaining positions are <end>-filled,
+        which the detokenizer treats identically (it stops at the first
+        <end>, data/tokenizer.ids_to_caption).
         """
+        if end_id is not None:
+            return self._greedy_sample_early_exit(
+                features, start_id, end_id, depth_features,
+                max_length=max_length, rng=rng)
         if use_pallas and self.attention_kind == "soft":
             return self._greedy_sample_pallas(features, start_id,
                                               depth_features,
@@ -245,6 +257,54 @@ class AttentionDecoder(nn.Module):
         _, (tokens, alphas) = jax.lax.scan(
             step, (state, prev), jnp.arange(max_length))
         return jnp.swapaxes(tokens, 0, 1), jnp.swapaxes(alphas, 0, 1)
+
+    def _greedy_sample_early_exit(self, features: jax.Array, start_id: int,
+                                  end_id: int,
+                                  depth_features: Optional[jax.Array], *,
+                                  max_length: int,
+                                  rng: Optional[jax.Array]
+                                  ) -> Tuple[jax.Array, jax.Array]:
+        """Greedy decode in a while_loop that stops when all beams finish."""
+        features = self.fuse(features, depth_features).astype(self.dtype)
+        features_proj = project_features(self._att_params(), features)
+        state = self.init_state(features)
+        bsz, k = features.shape[0], features.shape[1]
+        if rng is None:
+            if self.attention_kind == "hard":
+                raise ValueError("rng required for hard attention sampling")
+            rng = jax.random.PRNGKey(0)
+
+        tokens0 = jnp.full((bsz, max_length), end_id, jnp.int32)
+        alphas0 = jnp.zeros((bsz, max_length, k), self.dtype)
+
+        def cond(carry):
+            _, _, _, t, done = carry
+            return jnp.logical_and(t < max_length, ~jnp.all(done))
+
+        def body(carry):
+            (state, prev), (tokens, alphas), _, t, done = (
+                (carry[0], carry[1]), (carry[2][0], carry[2][1]),
+                None, carry[3], carry[4])
+            emb_t = jnp.take(self.embed, prev, axis=0)
+            key = jax.random.fold_in(rng, t)
+            state, logits, alpha = self._step(
+                state, emb_t, features, features_proj,
+                train=False, temp=jnp.float32(1.0), key=key,
+                dropout_key=key)
+            token = jnp.argmax(logits.astype(jnp.float32), -1).astype(jnp.int32)
+            token = jnp.where(done, end_id, token)
+            tokens = tokens.at[:, t].set(token)
+            alphas = alphas.at[:, t].set(
+                jnp.where(done[:, None], 0.0, alpha.astype(self.dtype)))
+            done = done | (token == end_id)
+            return (state, token, (tokens, alphas), t + 1, done)
+
+        prev = jnp.full((bsz,), start_id, jnp.int32)
+        done0 = jnp.zeros((bsz,), bool)
+        _, _, (tokens, alphas), _, _ = jax.lax.while_loop(
+            cond, body, (state, prev, (tokens0, alphas0), jnp.int32(0),
+                         done0))
+        return tokens, alphas
 
     def _greedy_sample_pallas(self, features: jax.Array, start_id: int,
                               depth_features: Optional[jax.Array], *,
