@@ -68,7 +68,14 @@ def _bleu_from_totals(correct, guess, hyp_len, ref_len, max_n) -> List[float]:
     bleus = []
     log_acc = 0.0
     ratio = hyp_len / (ref_len + _SMALL)
-    bp = math.exp(1.0 - 1.0 / ratio) if ratio < 1.0 else 1.0
+    # ratio == 0 (empty hypothesis corpus) -> exp(-inf) -> 0, matching
+    # pycocoevalcap's numpy semantics without the ZeroDivisionError
+    if ratio <= 0.0:
+        bp = 0.0
+    elif ratio < 1.0:
+        bp = math.exp(1.0 - 1.0 / ratio)
+    else:
+        bp = 1.0
     for n in range(max_n):
         prec = (correct[n] + _TINY) / (guess[n] + _SMALL)
         log_acc += math.log(prec)

@@ -282,9 +282,7 @@ class AttentionDecoder(nn.Module):
             return jnp.logical_and(t < max_length, ~jnp.all(done))
 
         def body(carry):
-            (state, prev), (tokens, alphas), _, t, done = (
-                (carry[0], carry[1]), (carry[2][0], carry[2][1]),
-                None, carry[3], carry[4])
+            state, prev, (tokens, alphas), t, done = carry
             emb_t = jnp.take(self.embed, prev, axis=0)
             key = jax.random.fold_in(rng, t)
             state, logits, alpha = self._step(
