@@ -45,7 +45,7 @@ def _load_vocabs(w2i_path, i2w_path):
 
 def score_mode(atten: str, use_data: str, cfg: ConfigEval, kind_prefix="base",
                depth=False, depth_fn=None, dpt_variables=None, num_sets=3,
-               beam_size=1) -> int:
+               beam_size=1, use_pallas=False) -> int:
     from depth_image_captioning_pub_tpu.engine.evaluate import evaluate
     w2i_p, i2w_p, anno, index_file, use_ori = eval_data_selection(cfg, use_data)
     word_to_id, id_to_word = _load_vocabs(w2i_p, i2w_p)
@@ -64,7 +64,7 @@ def score_mode(atten: str, use_data: str, cfg: ConfigEval, kind_prefix="base",
     scores = evaluate(kind, use_data, cap, loader, ds, word_to_id,
                       id_to_word, cfg, depth_fn=depth_fn,
                       dpt_variables=dpt_variables, num_sets=num_sets,
-                      beam_size=beam_size,
+                      beam_size=beam_size, use_pallas=use_pallas,
                       scores_pickle=f"{save_directory}/{use_data}_scores.pkl")
     print({k: float(np.mean(v)) for k, v in scores.items()})
     return 0
@@ -145,6 +145,7 @@ def main(argv=None):
     cfg = ConfigEval()
     num_sets = 3
     beam_size = 1
+    use_pallas = False
     rest = []
     it = iter(args)
     for a in it:
@@ -152,6 +153,8 @@ def main(argv=None):
             num_sets = int(next(it))
         elif a == "--beam":
             beam_size = int(next(it))
+        elif a == "--pallas-decode":
+            use_pallas = True
         else:
             rest.append(a)
     args = rest
@@ -163,7 +166,7 @@ def main(argv=None):
             print("input coco or rem_coco or rem_original")
             return 1
         return score_mode(args[0], args[2], cfg, num_sets=num_sets,
-                          beam_size=beam_size)
+                          beam_size=beam_size, use_pallas=use_pallas)
     if len(args) == 4 and args[1] == "sample":
         if args[3] not in sample_datas:
             print("input coco or original")

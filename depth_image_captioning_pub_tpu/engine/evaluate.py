@@ -35,7 +35,8 @@ METRIC_KEYS = ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L",
 def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
                     depth_fn: Optional[Callable] = None,
                     beam_size: int = 1, end_id: Optional[int] = None,
-                    length_penalty: float = 0.0) -> Callable:
+                    length_penalty: float = 0.0,
+                    use_pallas: bool = False) -> Callable:
     """Build the jitted end-to-end caption function for one model config.
 
     Returns fn(frozen, trainable_params, batch_stats, images, rng) ->
@@ -95,10 +96,12 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
                 method=AttentionDecoder.beam_sample)
             return tokens
         # end_id (when known) turns on early-exit greedy decode: the scan
-        # stops once every caption in the batch has emitted <end>
+        # stops once every caption in the batch has emitted <end>.
+        # use_pallas instead routes the whole sequence through one fused
+        # kernel (1.9x decode speed; near-tie argmax steps may flip).
         tokens, _ = sample_apply(params["decoder"], feats, start_id, dep,
                                  max_length=max_length, rng=rng,
-                                 end_id=end_id)
+                                 end_id=end_id, use_pallas=use_pallas)
         return tokens
     return caption_fn
 
@@ -149,6 +152,7 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
              num_sets: int = 3,
              scores_pickle: Optional[str] = None,
              beam_size: int = 1,
+             use_pallas: bool = False,
              quiet: bool = False) -> Dict[str, List[float]]:
     """Score ``num_sets`` checkpoint sets (reference: base_evaluation.py:
     123-166 accumulates per-metric lists over 3 sets and pickles them).
@@ -159,7 +163,8 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
     start_id = word_to_id[SPECIAL.start]
     caption_fn = make_caption_fn(cap, start_id, cfg.max_length, depth_fn,
                                  beam_size=beam_size,
-                                 end_id=word_to_id[SPECIAL.end])
+                                 end_id=word_to_id[SPECIAL.end],
+                                 use_pallas=use_pallas)
     scores: Dict[str, List[float]] = {k: [] for k in METRIC_KEYS}
     for set_idx in range(1, num_sets + 1):
         frozen_enc, params, batch_stats = checkpoint_loader(set_idx)

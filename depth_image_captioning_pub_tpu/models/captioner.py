@@ -242,10 +242,11 @@ class Captioner:
             return apply
 
         def apply(dec_params, features, start_id, depth_features=None, *,
-                  max_length=30, rng=None, end_id=None):
+                  max_length=30, rng=None, end_id=None, use_pallas=False):
             return self.decoder.apply(
                 {"params": dec_params}, features, start_id, depth_features,
                 max_length=max_length, rng=rng, end_id=end_id,
+                use_pallas=use_pallas,
                 method=AttentionDecoder.greedy_sample)
         return apply
 

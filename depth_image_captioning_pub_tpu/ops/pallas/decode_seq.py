@@ -1,0 +1,176 @@
+"""Whole-sequence greedy decode as ONE Pallas TPU kernel.
+
+The per-step fused kernel (decode_step.py) showed XLA's own fusion already
+wins within a step; the remaining overhead is *between* steps — the 30-step
+``lax.scan`` launches ~10 kernels per step. This kernel runs the entire
+30-step greedy loop on-chip in one launch: weights (including the vocab
+head and the embedding table) stay resident in VMEM for all steps, the
+recurrent h/c never round-trips through HBM, and the only outputs are the
+token matrix.
+
+Implementation notes:
+* grid over batch blocks sized to VMEM (v5e has 128MiB; we raise the scoped
+  limit past the 16MiB default);
+* the embedding lookup is a one-hot [blk,V] x [V,E] matmul — free on the
+  MXU and it avoids per-row dynamic gathers;
+* the time loop is ``jax.lax.fori_loop`` carrying (h, c, emb) as values;
+  tokens are stored with a dynamic time index.
+
+Greedy only, soft attention only (the eval hot path); alphas are not
+produced (the visualization path keeps the XLA scan). Correctness is
+bit-checked against the XLA scan in interpreter mode; TPU timing recorded
+in the module users' docstrings/bench notes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from depth_image_captioning_pub_tpu.ops.pallas.decode_step import (
+    DecodeStepWeights)
+
+_VMEM_BUDGET = 96 * 1024 * 1024
+_VMEM_LIMIT = 110 * 1024 * 1024
+
+
+class DecodeSeqWeights(NamedTuple):
+    step: DecodeStepWeights
+    w_out: jax.Array   # [H, V]
+    b_out: jax.Array   # [1, V]
+    embed: jax.Array   # [V, E]
+
+
+def _pick_block(bsz: int, k: int, d: int, a: int, itemsize: int,
+                weight_bytes: int) -> int:
+    for blk in (64, 32, 16, 8):
+        if bsz % blk:
+            continue
+        per_batch = blk * (k * d + k * a) * itemsize
+        if 2 * per_batch + weight_bytes <= _VMEM_BUDGET:
+            return blk
+    return 8
+
+
+def _make_kernel(max_length: int, start_id: int):
+    def kernel(feat_ref, proj_ref, h0_ref, c0_ref,
+               w_dec_ref, b_dec_ref, w_full_ref, b_full_ref,
+               w_fb_ref, b_fb_ref, w_ih_e_ref, w_ih_c_ref, w_hh_ref,
+               b_lstm_ref, w_out_ref, b_out_ref, embed_ref,
+               tok_out_ref):
+        blk = h0_ref.shape[0]
+        vocab = w_out_ref.shape[1]
+        feats = feat_ref[:]
+        proj = proj_ref[:]
+
+        def step(t, carry):
+            h, c, emb, acc = carry
+            dec = jnp.dot(h, w_dec_ref[:],
+                          preferred_element_type=jnp.float32) + b_dec_ref[:]
+            act = jnp.maximum(proj + dec[:, None, :].astype(proj.dtype), 0.0)
+            b_, k_, a_ = act.shape
+            e = jnp.dot(act.reshape(b_ * k_, a_), w_full_ref[:],
+                        preferred_element_type=jnp.float32)
+            e = e.reshape(b_, k_) + b_full_ref[0, 0]
+            alpha = jax.nn.softmax(e, axis=-1)
+            ctx = jax.lax.dot_general(
+                alpha.astype(feats.dtype)[:, None, :], feats,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)[:, 0, :]
+            gate = jax.nn.sigmoid(
+                jnp.dot(h, w_fb_ref[:], preferred_element_type=jnp.float32)
+                + b_fb_ref[:])
+            gated = (gate * ctx).astype(w_ih_c_ref.dtype)
+            gates = (jnp.dot(emb, w_ih_e_ref[:],
+                             preferred_element_type=jnp.float32)
+                     + jnp.dot(gated, w_ih_c_ref[:],
+                               preferred_element_type=jnp.float32)
+                     + jnp.dot(h, w_hh_ref[:],
+                               preferred_element_type=jnp.float32)
+                     + b_lstm_ref[:])
+            i_g, f_g, g_g, o_g = jnp.split(gates, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f_g) * c.astype(jnp.float32) \
+                + jax.nn.sigmoid(i_g) * jnp.tanh(g_g)
+            h_new = jax.nn.sigmoid(o_g) * jnp.tanh(c_new)
+            logits = jnp.dot(h_new.astype(w_out_ref.dtype), w_out_ref[:],
+                             preferred_element_type=jnp.float32) \
+                + b_out_ref[:]
+            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # Mosaic can't store a 1-wide dynamic column into the tiled
+            # int32 output; accumulate with a full-width time mask instead
+            # and write the whole block once after the loop.
+            tmask = (jax.lax.broadcasted_iota(
+                jnp.int32, acc.shape, 1) == t).astype(jnp.int32)
+            acc = acc + token[:, None] * tmask
+            # embedding lookup as one-hot matmul (no dynamic gathers)
+            onehot = (token[:, None]
+                      == jax.lax.broadcasted_iota(jnp.int32, (blk, vocab), 1)
+                      ).astype(embed_ref.dtype)
+            emb_next = jnp.dot(onehot, embed_ref[:],
+                               preferred_element_type=jnp.float32)
+            return (h_new.astype(h.dtype), c_new.astype(c.dtype),
+                    emb_next.astype(emb.dtype), acc)
+
+        start_tok = jnp.full((blk,), start_id, jnp.int32)
+        onehot0 = (start_tok[:, None]
+                   == jax.lax.broadcasted_iota(
+                       jnp.int32, (blk, vocab), 1)).astype(embed_ref.dtype)
+        emb0 = jnp.dot(onehot0, embed_ref[:],
+                       preferred_element_type=jnp.float32).astype(
+                           h0_ref.dtype)
+        acc0 = jnp.zeros((blk, max_length), jnp.int32)
+        _, _, _, acc = jax.lax.fori_loop(0, max_length, step,
+                                         (h0_ref[:], c0_ref[:], emb0, acc0))
+        tok_out_ref[:] = acc
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_length", "start_id", "interpret"))
+def fused_greedy_decode(features: jax.Array, features_proj: jax.Array,
+                        h0: jax.Array, c0: jax.Array, w: DecodeSeqWeights,
+                        *, max_length: int = 30, start_id: int = 0,
+                        interpret: bool = False) -> jax.Array:
+    """Whole-sequence greedy decode; returns tokens [B, max_length] int32.
+
+    B must be a multiple of 8 (pad first, as greedy_sample does).
+    """
+    bsz, k, d = features.shape
+    assert bsz % 8 == 0, f"batch {bsz} must be a multiple of 8"
+    a = features_proj.shape[-1]
+    hdim = h0.shape[-1]
+    itemsize = jnp.dtype(features.dtype).itemsize
+    flat_w = list(w.step) + [w.w_out, w.b_out, w.embed]
+    weight_bytes = sum(int(np.prod(x.shape)) * jnp.dtype(x.dtype).itemsize
+                       for x in flat_w)
+    blk = _pick_block(bsz, k, d, a, itemsize, weight_bytes)
+    grid = (bsz // blk,)
+
+    def batch_spec(*shape):
+        return pl.BlockSpec((blk,) + shape,
+                            lambda i: (i,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def weight_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [batch_spec(k, d), batch_spec(k, a), batch_spec(hdim),
+                batch_spec(hdim)] + [weight_spec(x) for x in flat_w]
+    tokens = pl.pallas_call(
+        _make_kernel(max_length, start_id),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=batch_spec(max_length),
+        out_shape=jax.ShapeDtypeStruct((bsz, max_length), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(features, features_proj, h0, c0, *flat_w)
+    return tokens

@@ -54,6 +54,26 @@ def test_fused_core_matches_ops_path(setup):
                                atol=1e-5)
 
 
+def test_whole_sequence_kernel_matches_xla_scan():
+    """fused_greedy_decode (interpret) == AttentionDecoder XLA greedy scan,
+    through the public use_pallas API (CPU forces interpreter mode)."""
+    import jax
+    from depth_image_captioning_pub_tpu.models.decoder import AttentionDecoder
+    dec = AttentionDecoder(vocab_size=40, dim_attention=8, dim_embedding=8,
+                           dim_encoder=16, dim_decoder=12, dtype=jnp.float32)
+    feats = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (10, 49, 16)).astype(np.float32))   # 10: exercises pad-to-8 logic
+    params = dec.init(jax.random.PRNGKey(0), feats,
+                      jnp.zeros((10, 5), jnp.int32), train=False,
+                      rng=jax.random.PRNGKey(1))["params"]
+    ref, _ = dec.apply({"params": params}, feats, 2, max_length=9,
+                       method=dec.greedy_sample)
+    got, alphas = dec.apply({"params": params}, feats, 2, max_length=9,
+                            use_pallas=True, method=dec.greedy_sample)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    assert np.all(np.asarray(alphas) == 0.0)  # documented: no alphas
+
+
 def test_pick_block_respects_budget_and_divisibility():
     from depth_image_captioning_pub_tpu.ops.pallas.decode_step import (
         _VMEM_BUDGET)
