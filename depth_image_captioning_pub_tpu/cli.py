@@ -10,11 +10,11 @@ from __future__ import annotations
 
 import os
 import random
-from typing import Callable, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from depth_image_captioning_pub_tpu.config import ConfigEval, ConfigTrain
+from depth_image_captioning_pub_tpu.config import ConfigEval
 
 EXP_TIME = 3  # every config trains/evaluates 3x (reference: base_main.py:17)
 

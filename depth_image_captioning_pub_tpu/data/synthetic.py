@@ -11,7 +11,7 @@ from __future__ import annotations
 import json
 import os
 import random
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from PIL import Image

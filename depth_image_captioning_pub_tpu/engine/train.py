@@ -36,7 +36,7 @@ from depth_image_captioning_pub_tpu.data.vocab import load_vocab
 from depth_image_captioning_pub_tpu.engine.steps import (
     TrainState, make_attention_eval_step, make_attention_train_step,
     make_nic_eval_step, make_nic_train_step, make_optimizer)
-from depth_image_captioning_pub_tpu.models.captioner import Captioner, build_captioner
+from depth_image_captioning_pub_tpu.models.captioner import build_captioner
 from depth_image_captioning_pub_tpu.parallel.mesh import (
     make_mesh, pad_batch_to_devices, shard_batch, replicate)
 from depth_image_captioning_pub_tpu.utils.checkpoint import save_component

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List
 
 import numpy as np
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from depth_image_captioning_pub_tpu.models.initializers import (
-    torch_bias, torch_linear_kernel, uniform_pm)
+    torch_bias, torch_linear_kernel)
 from depth_image_captioning_pub_tpu.ops.lstm import (
     LSTMCellParams, StackedLSTMParams, stacked_lstm, stacked_lstm_step)
 

@@ -14,7 +14,7 @@ uses running averages — there is no train-mode BN path to carry.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ numpy array immediately. Layout conventions converted here:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 

@@ -107,3 +107,44 @@ def test_depth_main_rejects_bad_args():
     import depth_main
     assert depth_main.main(["soft", "cnn", "imagenet"]) == 1
     assert depth_main.main(["soft"]) == 1
+
+
+def test_original_dataset_train_and_rem_coco_eval(coco_tree):
+    """The 'original' dataset paths: train with use_data=original, then
+    score with useData=rem_coco (ori vocab + remCOCO anno + 500-index
+    subset; reference: base_evaluation.py:35-47, config.py:110-111)."""
+    import base_main
+    import base_evaluation
+    from depth_image_captioning_pub_tpu.data.vocab import (
+        build_vocab, captions_from_coco_json, save_vocab)
+    odir = coco_tree / "dataset" / "original_dataset"
+    odir.mkdir(parents=True, exist_ok=True)
+    # original train/val annos reuse the synthetic coco images
+    shutil.copy(coco_tree / "dataset/coco2014/captions_train2014.json",
+                odir / "original_dataset.json")
+    shutil.copy(coco_tree / "dataset/coco2014/captions_val2014.json",
+                odir / "original_val_dataset.json")
+    # the reference's "original" annos point at images that live under the
+    # train/val image roots; ours already do
+    w2i, i2w = build_vocab(
+        captions_from_coco_json(str(odir / "original_dataset.json")),
+        captions_from_coco_json(str(odir / "original_val_dataset.json")),
+        min_count=1)
+    save_vocab(w2i, i2w, str(odir / "ori_word_to_id.pkl"),
+               str(odir / "ori_id_to_word.pkl"))
+    # rem_coco eval: remCOCO anno over val2014 images + 500-index file
+    shutil.copy(coco_tree / "dataset/coco2014/captions_val2014.json",
+                odir / "remCOCO_original_val_dataset.json")
+    np.save(coco_tree / "data_index" / "remCOCO_500_ori.npy",
+            np.array([0, 2], dtype=np.int64))
+
+    # NOTE: the original-train image root is train2014 in ConfigTrain; our
+    # original anno reuses those images, so this exercises the real path.
+    assert base_main.main(["soft", "original", "--epochs", "1",
+                           "--exp-time", "1"]) == 0
+    d = coco_tree / "exp_result" / "base_soft_ori"
+    assert (d / "base_soft_decoder_best_original0.pth.msgpack").exists()
+
+    assert base_evaluation.main(["soft", "score", "rem_coco",
+                                 "--num-sets", "1"]) == 0
+    assert (d / "rem_coco_scores.pkl").exists()
