@@ -19,6 +19,24 @@ from depth_image_captioning_pub_tpu.config import ConfigEval
 EXP_TIME = 3  # every config trains/evaluates 3x (reference: base_main.py:17)
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache for all CLIs (cold full-model compiles
+    cost minutes on remote-compile TPU backends; ~40s warm, measured)."""
+    try:
+        import jax
+        cache_dir = os.environ.get(
+            "DCAP_COMPILE_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
+
 def resnet_layers_from_env():
     """Test/dev hook: $DCAP_RESNET_LAYERS="1,1,1,1" shrinks the backbone;
     unset -> full ResNet-152."""
