@@ -47,7 +47,6 @@ def beam_search(step_fn: Callable, init_state: Any, batch: int,
     tokens0 = jnp.full((bw,), start_id, jnp.int32)
     history0 = jnp.full((batch, beam_size, max_length), end_id, jnp.int32)
     finished0 = jnp.zeros((batch, beam_size), bool)
-    vocab = None  # inferred on first step
 
     def step(carry, t):
         state, prev, scores, history, finished = carry
