@@ -35,6 +35,8 @@ def main(argv=None):
     for a in it:
         if a == "--dpt-weights":
             cfg.dpt_weights = next(it)
+        elif a == "--dpt-size":
+            cfg.dpt_image_size = int(next(it))
         elif a == "--num-sets":
             num_sets = int(next(it))
         elif a == "--beam":

@@ -71,7 +71,8 @@ def make_depth_fn(cfg, dtype=None):
     from depth_image_captioning_pub_tpu.models.dpt import (
         DPTDepthEstimator, DPTDepthModel)
 
-    est = DPTDepthEstimator(dtype=dtype or jnp.bfloat16)
+    est = DPTDepthEstimator(dtype=dtype or jnp.bfloat16,
+                            image_size=getattr(cfg, "dpt_image_size", 384))
     if os.environ.get("DCAP_TINY_DPT"):  # test/dev hook: shrink DPT
         est.model = DPTDepthModel(vit_blocks=3, hooks=(1, 2),
                                   resnet_layers=(1, 1, 1), vit_dim=64,

@@ -41,6 +41,8 @@ def _parse_flags(args):
             cfg.dpt_weights = next(it)
         elif a == "--no-depth-cache":
             flags["cache"] = False
+        elif a == "--dpt-size":
+            cfg.dpt_image_size = int(next(it))
         else:
             rest.append(a)
     return rest, flags, cfg
