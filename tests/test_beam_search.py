@@ -88,6 +88,35 @@ def test_beam_score_matches_teacher_forcing(soft_decoder):
         assert abs(total - float(np.asarray(scores)[i])) < 1e-3
 
 
+def test_depth_fusion_beam1_equals_greedy():
+    """Beam search through the depth-fusion (add) decoder path."""
+    dec = AttentionDecoder(vocab_size=VOCAB, dim_attention=8,
+                           dim_embedding=8, dim_encoder=D_ENC,
+                           dim_decoder=12, attention_kind="soft",
+                           fusion="add", dtype=jnp.float32)
+    rng_np = np.random.default_rng(4)
+    feats = jnp.asarray(rng_np.standard_normal((3, K, D_ENC)).astype(np.float32))
+    dep = jnp.asarray(rng_np.standard_normal((3, K, D_ENC)).astype(np.float32))
+    params = dec.init(jax.random.PRNGKey(0), feats,
+                      jnp.zeros((3, 6), jnp.int32), dep, train=False,
+                      rng=jax.random.PRNGKey(1))["params"]
+    greedy, _ = dec.apply({"params": params}, feats, 1, dep, max_length=8,
+                          method=dec.greedy_sample)
+    beam, _ = dec.apply({"params": params}, feats, 1, VOCAB - 1, dep,
+                        beam_size=1, max_length=8, method=dec.beam_sample)
+    g, b = np.asarray(greedy), np.asarray(beam)
+    end = VOCAB - 1
+    for i in range(g.shape[0]):
+        done = False
+        for t in range(g.shape[1]):
+            if done:
+                assert b[i, t] == end
+            else:
+                assert b[i, t] == g[i, t]
+            if g[i, t] == end:
+                done = True
+
+
 def test_nic_beam1_equals_greedy():
     dec = NICDecoder(vocab_size=VOCAB, dim_embedding=10, dim_hidden=8,
                      num_layers=2, dtype=jnp.float32)
