@@ -225,11 +225,12 @@ class AttentionDecoder(nn.Module):
         <end>, data/tokenizer.ids_to_caption).
         """
         if use_pallas and self.attention_kind == "soft":
-            # explicit throughput opt-in wins over early exit (the kernel
-            # has no early-exit path yet)
+            # throughput opt-in; end_id gives the kernel the same
+            # <end>-padding output semantics as the early-exit path
             return self._greedy_sample_pallas(features, start_id,
                                               depth_features,
-                                              max_length=max_length)
+                                              max_length=max_length,
+                                              end_id=end_id)
         if end_id is not None:
             return self._greedy_sample_early_exit(
                 features, start_id, end_id, depth_features,
@@ -308,7 +309,9 @@ class AttentionDecoder(nn.Module):
 
     def _greedy_sample_pallas(self, features: jax.Array, start_id: int,
                               depth_features: Optional[jax.Array], *,
-                              max_length: int) -> Tuple[jax.Array, jax.Array]:
+                              max_length: int,
+                              end_id: Optional[int] = None
+                              ) -> Tuple[jax.Array, jax.Array]:
         """Greedy decode with the whole-sequence Pallas kernel.
 
         All 30 steps run in ONE kernel launch with weights (incl. the vocab
@@ -346,7 +349,9 @@ class AttentionDecoder(nn.Module):
             c = jnp.concatenate([c, jnp.repeat(c[:1], pad, 0)], 0)
         tokens = fused_greedy_decode(features, features_proj, h, c, w,
                                      max_length=max_length,
-                                     start_id=start_id, interpret=interpret)
+                                     start_id=start_id,
+                                     end_id=-1 if end_id is None else end_id,
+                                     interpret=interpret)
         alphas = jnp.zeros((bsz, max_length, k), self.dtype)
         return tokens[:bsz], alphas
 

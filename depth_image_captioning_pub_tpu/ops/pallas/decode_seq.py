@@ -58,7 +58,13 @@ def _pick_block(bsz: int, k: int, d: int, a: int, itemsize: int,
     return 8
 
 
-def _make_kernel(max_length: int, start_id: int):
+def _make_kernel(max_length: int, start_id: int, end_id: int):
+    """end_id >= 0 gives finished captions <end>-padding semantics (rows
+    that emitted <end> keep emitting it), matching the XLA early-exit path's
+    OUTPUT exactly; the loop itself stays fixed-length — Mosaic cannot
+    legalize scf.while/scf.for carries needed for a true in-kernel early
+    exit (i1 vector layouts), see the note at the loop."""
+
     def kernel(feat_ref, proj_ref, h0_ref, c0_ref,
                w_dec_ref, b_dec_ref, w_full_ref, b_full_ref,
                w_fb_ref, b_fb_ref, w_ih_e_ref, w_ih_c_ref, w_hh_ref,
@@ -70,7 +76,7 @@ def _make_kernel(max_length: int, start_id: int):
         proj = proj_ref[:]
 
         def step(t, carry):
-            h, c, emb, acc = carry
+            h, c, emb, (acc, done) = carry
             dec = jnp.dot(h, w_dec_ref[:],
                           preferred_element_type=jnp.float32) + b_dec_ref[:]
             act = jnp.maximum(proj + dec[:, None, :].astype(proj.dtype), 0.0)
@@ -102,6 +108,11 @@ def _make_kernel(max_length: int, start_id: int):
                              preferred_element_type=jnp.float32) \
                 + b_out_ref[:]
             token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if end_id >= 0:
+                # done carried as int32: Mosaic cannot legalize i1 vector
+                # loop carries (scf.for/while with vpad i1 layouts)
+                token = jnp.where(done > 0, end_id, token)
+                done = jnp.maximum(done, (token == end_id).astype(jnp.int32))
             # Mosaic can't store a 1-wide dynamic column into the tiled
             # int32 output; accumulate with a full-width time mask instead
             # and write the whole block once after the loop.
@@ -115,7 +126,7 @@ def _make_kernel(max_length: int, start_id: int):
             emb_next = jnp.dot(onehot, embed_ref[:],
                                preferred_element_type=jnp.float32)
             return (h_new.astype(h.dtype), c_new.astype(c.dtype),
-                    emb_next.astype(emb.dtype), acc)
+                    emb_next.astype(emb.dtype), (acc, done))
 
         start_tok = jnp.full((blk,), start_id, jnp.int32)
         onehot0 = (start_tok[:, None]
@@ -125,22 +136,31 @@ def _make_kernel(max_length: int, start_id: int):
                        preferred_element_type=jnp.float32).astype(
                            h0_ref.dtype)
         acc0 = jnp.zeros((blk, max_length), jnp.int32)
-        _, _, _, acc = jax.lax.fori_loop(0, max_length, step,
-                                         (h0_ref[:], c0_ref[:], emb0, acc0))
+        done0 = jnp.zeros((blk,), jnp.int32)
+        carry0 = (h0_ref[:], c0_ref[:], emb0, (acc0, done0))
+        # NOTE: a lax.while_loop early exit was attempted here but Mosaic
+        # cannot legalize scf.yield for this carry (i1 vector layouts); the
+        # fixed fori_loop stays, with the done mask preserving the
+        # <end>-padding OUTPUT semantics of the early-exit XLA path.
+        _, _, _, (acc, _) = jax.lax.fori_loop(0, max_length, step, carry0)
         tok_out_ref[:] = acc
 
     return kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_length", "start_id", "interpret"))
+                   static_argnames=("max_length", "start_id", "end_id",
+                                    "interpret"))
 def fused_greedy_decode(features: jax.Array, features_proj: jax.Array,
                         h0: jax.Array, c0: jax.Array, w: DecodeSeqWeights,
                         *, max_length: int = 30, start_id: int = 0,
+                        end_id: int = -1,
                         interpret: bool = False) -> jax.Array:
     """Whole-sequence greedy decode; returns tokens [B, max_length] int32.
 
     B must be a multiple of 8 (pad first, as greedy_sample does).
+    ``end_id >= 0`` <end>-pads finished rows (same output as the XLA
+    early-exit path; the kernel loop itself remains fixed-length).
     """
     bsz, k, d = features.shape
     assert bsz % 8 == 0, f"batch {bsz} must be a multiple of 8"
@@ -165,7 +185,7 @@ def fused_greedy_decode(features: jax.Array, features_proj: jax.Array,
     in_specs = [batch_spec(k, d), batch_spec(k, a), batch_spec(hdim),
                 batch_spec(hdim)] + [weight_spec(x) for x in flat_w]
     tokens = pl.pallas_call(
-        _make_kernel(max_length, start_id),
+        _make_kernel(max_length, start_id, end_id),
         grid=grid,
         in_specs=in_specs,
         out_specs=batch_spec(max_length),
