@@ -193,33 +193,39 @@ def train(kind: str, ext: int, use_data: str = "coco",
         meter = ProgressMeter(cfg.moving_avg, desc=f"[epoch {epoch + 1}]",
                               quiet=quiet)
         t0 = time.time()
-        losses = []
+        # losses stay ON DEVICE during the epoch (the reference synced
+        # loss.item() every step, base_train.py:170); one fetch per epoch
+        loss_sum = None
+        n_steps = 0
+        host_step = int(state.step)
         it = Prefetcher(train_batches(
             train_ds, word_to_id, cfg.batch_size, cfg.max_caption_len,
             shuffle=True, seed=cfg.seed + ext, epoch=epoch, pad_to=pad_to))
         for batch in it:
             rng, step_rng = jax.random.split(rng)
             dev_batch = to_device(batch, step_rng)
-            step_no = int(state.step)
-            if cfg.profile_dir and step_no == cfg.profile_start:
+            if cfg.profile_dir and host_step == cfg.profile_start:
                 jax.profiler.start_trace(cfg.profile_dir)
             if kind == "nic":
                 state, metrics = step_fn(state, dev_batch, step_rng)
             else:
                 state, metrics = step_fn(state, dev_batch, step_rng, temp)
-            loss = float(metrics["loss"])
-            if cfg.profile_dir and step_no + 1 == cfg.profile_stop:
+            host_step += 1
+            if cfg.profile_dir and host_step == cfg.profile_stop:
                 jax.profiler.stop_trace()
-            losses.append(loss)
-            meter.update(loss)
+            loss_dev = metrics["loss"]
+            loss_sum = loss_dev if loss_sum is None else loss_sum + loss_dev
+            n_steps += 1
+            meter.update_lazy(lambda ld=loss_dev: ld)
         meter.close()
-        train_loss = float(np.mean(losses)) if losses else float("nan")
+        train_loss = (float(loss_sum) / n_steps) if n_steps else float("nan")
         train_csv.append(epoch, train_loss)
         if not quiet:
             print(f"[epoch:{epoch}] train loss: {train_loss}")
 
-        # validation
-        val_losses = []
+        # validation (device-accumulated, one fetch)
+        val_sum = None
+        n_val = 0
         itv = Prefetcher(train_batches(
             val_ds, word_to_id, cfg.batch_size, cfg.max_caption_len,
             shuffle=False, seed=cfg.seed, epoch=epoch, pad_to=pad_to))
@@ -230,8 +236,10 @@ def train(kind: str, ext: int, use_data: str = "coco",
                 metrics = val_fn(state, dev_batch)
             else:
                 metrics = val_fn(state, dev_batch, vrng)
-            val_losses.append(float(metrics["loss"]))
-        val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+            val_sum = metrics["loss"] if val_sum is None \
+                else val_sum + metrics["loss"]
+            n_val += 1
+        val_loss = (float(val_sum) / n_val) if n_val else float("nan")
         val_csv.append(epoch, val_loss)
         if not quiet:
             print(f"[epoch:{epoch}] Validation loss: {val_loss}")

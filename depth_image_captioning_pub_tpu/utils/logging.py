@@ -66,6 +66,19 @@ class ProgressMeter:
                   f"loss(ma{self.losses.maxlen})={avg:.4f} "
                   f"{rate:.2f} it/s", end="", file=sys.stderr)
 
+    def update_lazy(self, loss_fn) -> None:
+        """Like update, but only materializes the loss when printing —
+        lets the train loop keep losses on-device (no per-step host sync;
+        the reference paid a ``.item()`` sync every step,
+        base_train.py:170)."""
+        self.count += 1
+        if not self.quiet and self.count % self.print_every == 0:
+            loss = float(loss_fn())
+            self.losses.append(loss)
+            rate = self.count / (time.time() - self._t0)
+            print(f"\r{self.desc} step {self.count} loss={loss:.4f} "
+                  f"{rate:.2f} it/s", end="", file=sys.stderr)
+
     def close(self) -> None:
         if not self.quiet:
             print(file=sys.stderr)
