@@ -1,0 +1,100 @@
+"""Statistical tests of the hard-attention (Gumbel) machinery.
+
+Hard-attention parity with the reference is distributional (different RNGs
+— PARITY.md); these tests pin the distributions themselves:
+Gumbel-max samples follow the softmax of the logits, Gumbel-softmax
+sharpens toward one-hot as the temperature drops (the reference's anneal,
+base_train.py:239-246), and eval one-hot attention selects exactly one
+region.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from depth_image_captioning_pub_tpu.ops.attention import (
+    AttentionParams, gumbel_max_attention, gumbel_softmax_attention,
+    project_features)
+
+B, K, D, H, A = 512, 8, 6, 5, 7
+
+
+def _params(rng):
+    def arr(*shape):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 0.5)
+    return AttentionParams(arr(D, A), arr(A), arr(H, A), arr(A), arr(A),
+                           jnp.float32(0.0))
+
+
+def test_gumbel_max_matches_softmax_distribution():
+    """Gumbel-max trick samples category k with prob softmax(logits)_k
+    (reference: attention.py:34-48). Checked empirically over many draws."""
+    rng = np.random.default_rng(0)
+    p = _params(rng)
+    feats = jnp.asarray(np.tile(
+        rng.standard_normal((1, K, D)).astype(np.float32), (B, 1, 1)))
+    hid = jnp.asarray(np.tile(
+        rng.standard_normal((1, H)).astype(np.float32), (B, 1)))
+    fp = project_features(p, feats)
+
+    from depth_image_captioning_pub_tpu.ops.attention import attention_logits
+    logits = np.asarray(attention_logits(p, fp[:1], hid[:1]))[0]
+    expected = np.exp(logits - logits.max())
+    expected /= expected.sum()
+
+    counts = np.zeros(K)
+    n_rounds = 40
+    for i in range(n_rounds):
+        _, alpha = gumbel_max_attention(p, feats, fp, hid,
+                                        jax.random.PRNGKey(i))
+        counts += np.asarray(alpha).sum(axis=0)
+    freq = counts / (B * n_rounds)
+    # 20480 samples: empirical freq within ~4 sigma of the softmax probs
+    se = np.sqrt(expected * (1 - expected) / (B * n_rounds))
+    assert np.all(np.abs(freq - expected) < 4 * se + 5e-3), (freq, expected)
+
+
+def test_gumbel_softmax_sharpens_with_temperature():
+    """Lower temp -> alpha closer to one-hot (higher max weight); the
+    reference anneals temp from 1.0 toward 0.5 (base_train.py:371-373)."""
+    rng = np.random.default_rng(1)
+    p = _params(rng)
+    feats = jnp.asarray(rng.standard_normal((B, K, D)).astype(np.float32))
+    hid = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+    fp = project_features(p, feats)
+    maxes = {}
+    for temp in (2.0, 1.0, 0.5, 0.1):
+        _, alpha = gumbel_softmax_attention(p, feats, fp, hid,
+                                            jnp.float32(temp),
+                                            jax.random.PRNGKey(0))
+        a = np.asarray(alpha)
+        np.testing.assert_allclose(a.sum(axis=1), 1.0, atol=1e-5)
+        maxes[temp] = a.max(axis=1).mean()
+    assert maxes[2.0] < maxes[1.0] < maxes[0.5] < maxes[0.1]
+    assert maxes[0.1] > 0.95  # near one-hot at low temperature
+
+
+def test_gumbel_max_alpha_is_exactly_one_hot():
+    rng = np.random.default_rng(2)
+    p = _params(rng)
+    feats = jnp.asarray(rng.standard_normal((B, K, D)).astype(np.float32))
+    hid = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+    fp = project_features(p, feats)
+    _, alpha = gumbel_max_attention(p, feats, fp, hid, jax.random.PRNGKey(3))
+    a = np.asarray(alpha)
+    assert np.all(np.sort(a, axis=1)[:, -1] == 1.0)
+    assert np.all(a.sum(axis=1) == 1.0)
+
+
+def test_different_keys_give_different_samples():
+    rng = np.random.default_rng(3)
+    p = _params(rng)
+    feats = jnp.asarray(rng.standard_normal((B, K, D)).astype(np.float32))
+    hid = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+    fp = project_features(p, feats)
+    _, a1 = gumbel_max_attention(p, feats, fp, hid, jax.random.PRNGKey(0))
+    _, a2 = gumbel_max_attention(p, feats, fp, hid, jax.random.PRNGKey(1))
+    assert not np.array_equal(np.asarray(a1), np.asarray(a2))
+    # and the same key reproduces exactly (jax determinism)
+    _, a3 = gumbel_max_attention(p, feats, fp, hid, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a3))
