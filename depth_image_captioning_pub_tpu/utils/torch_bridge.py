@@ -28,7 +28,10 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
     6-char prefix ('model.') that must be stripped (DPT_model.py:34-41).
     """
     import torch
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:  # prefer the safe loader; some Omnidata ckpts need full unpickling
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
         ckpt = {k[6:]: v for k, v in ckpt["state_dict"].items()}
     out = {}
