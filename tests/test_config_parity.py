@@ -56,6 +56,29 @@ def test_every_reference_config_field_exists(cls, ref_name):
     assert not missing, f"reference {ref_name} fields missing: {missing}"
 
 
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not mounted")
+def test_checkpoint_filename_tables_match_reference():
+    """The eval CLIs find per-run checkpoints by the exact basenames the
+    reference hardcodes (config.py:121-179); compare our generated tables
+    against literal dicts parsed from the reference source."""
+    with open(REF) as f:
+        tree = ast.parse(f.read())
+    ref_tables = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and len(node.targets) == 1 and \
+                isinstance(node.targets[0], ast.Attribute) and \
+                node.targets[0].attr.endswith("parameter_files"):
+            try:
+                ref_tables[node.targets[0].attr] = ast.literal_eval(node.value)
+            except ValueError:
+                pass
+    assert len(ref_tables) >= 9
+    cfg = ConfigEval()
+    for name, table in ref_tables.items():
+        ours = getattr(cfg, name)
+        assert ours == table, f"{name} differs: {ours} vs {table}"
+
+
 def test_reference_hyperparameter_values_match():
     """Spot-check the numeric defaults against the reference's documented
     values (SURVEY.md §2.1 Config row)."""
