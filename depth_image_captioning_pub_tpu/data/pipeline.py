@@ -14,11 +14,13 @@ by design, not omission:
   dataset order lets eval outputs align with reference indices trivially.
 * The last partial batch is padded up to ``batch_size`` with repeated samples
   plus a validity mask (`pad_mask`), so jit never sees a second batch shape.
-* Images stay un-normalized [0,1] floats on host; ImageNet / DPT
-  normalization is fused on-device (see ops/image_ops.py), replacing the
-  host-side ``T.Normalize`` (reference: util.py:13-17).
-* A thread prefetcher overlaps PIL decode with TPU compute, standing in for
-  ``num_workers=4`` forked workers (reference: config.py:65).
+* Images stay raw uint8 on host (4x less transfer); the /255 conversion
+  and ImageNet / DPT normalization are fused on-device (ops/image_ops.py),
+  replacing the host-side ``T.ToTensor``/``T.Normalize``
+  (reference: util.py:13-17, base_train.py:50-52).
+* A thread prefetcher plus the native C++ batch JPEG loader
+  (data/native_loader.py) stand in for ``num_workers=4`` forked workers
+  (reference: config.py:65).
 """
 
 from __future__ import annotations
