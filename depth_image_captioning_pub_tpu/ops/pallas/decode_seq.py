@@ -13,8 +13,10 @@ Implementation notes:
   limit past the 16MiB default);
 * the embedding lookup is a one-hot [blk,V] x [V,E] matmul — free on the
   MXU and it avoids per-row dynamic gathers;
-* the time loop is ``jax.lax.fori_loop`` carrying (h, c, emb) as values;
-  tokens are stored with a dynamic time index.
+* the time loop is ``jax.lax.fori_loop`` carrying (h, c, emb, tokens,
+  done) as values; tokens accumulate through a full-width time mask
+  (Mosaic cannot store 1-wide dynamic columns into the tiled int32
+  output) and are written once after the loop.
 
 Greedy only, soft attention only (the eval hot path); alphas are not
 produced (the visualization path keeps the XLA scan). Correctness is
