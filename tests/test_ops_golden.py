@@ -155,3 +155,36 @@ def test_img_to_patch_matches_torch_unfold(rng):
         expected = unf.permute(0, 2, 1).numpy()   # [B, 196, 256]
     got = img_to_patch(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), expected, atol=1e-6)
+
+
+def test_resize_bilinear_matches_torch(rng):
+    """jax.image.resize 'bilinear' == torch F.interpolate align_corners=False
+    — the depth path's 224->384->224 resizes (ops/image_ops.resize_bilinear)."""
+    from depth_image_captioning_pub_tpu.ops.image_ops import resize_bilinear
+    x = rng.standard_normal((2, 14, 14, 3)).astype(np.float32)
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+    expected = torch.nn.functional.interpolate(
+        tx, size=(24, 24), mode="bilinear",
+        align_corners=False).permute(0, 2, 3, 1).numpy()
+    got = resize_bilinear(jnp.asarray(x), (24, 24))
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5)
+
+
+def test_normalizations_match_torchvision_math(rng):
+    from depth_image_captioning_pub_tpu.ops.image_ops import (
+        IMAGENET_MEAN, IMAGENET_STD, dpt_normalize, imagenet_normalize,
+        to_unit_float)
+    u8 = rng.integers(0, 256, (2, 8, 8, 3)).astype(np.uint8)
+    x01 = u8.astype(np.float32) / 255.0
+    # to_unit_float(u8) == ToTensor's /255
+    np.testing.assert_allclose(
+        np.asarray(to_unit_float(jnp.asarray(u8))), x01, atol=1e-7)
+    # imagenet_normalize == T.Normalize(mean, std)
+    expected = (x01 - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    np.testing.assert_allclose(
+        np.asarray(imagenet_normalize(jnp.asarray(x01))), expected,
+        atol=1e-5)
+    # dpt_normalize == T.Normalize(0.5, 0.5)
+    np.testing.assert_allclose(
+        np.asarray(dpt_normalize(jnp.asarray(x01))), (x01 - 0.5) / 0.5,
+        atol=1e-6)
