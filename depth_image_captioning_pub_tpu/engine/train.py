@@ -147,7 +147,7 @@ def train(kind: str, ext: int, use_data: str = "coco",
     # val indices address a different dataset
     val_provider = val_depth_provider or depth_provider
 
-    def to_device(batch, epoch_rng, provider=depth_provider):
+    def to_device(batch, provider=depth_provider):
         arrays = {"images": batch.images, "captions": batch.captions,
                   "lengths": batch.lengths, "pad_mask": batch.pad_mask}
         if uses_depth:
@@ -203,7 +203,7 @@ def train(kind: str, ext: int, use_data: str = "coco",
             shuffle=True, seed=cfg.seed + ext, epoch=epoch, pad_to=pad_to))
         for batch in it:
             rng, step_rng = jax.random.split(rng)
-            dev_batch = to_device(batch, step_rng)
+            dev_batch = to_device(batch)
             if cfg.profile_dir and host_step == cfg.profile_start:
                 jax.profiler.start_trace(cfg.profile_dir)
             if kind == "nic":
@@ -231,7 +231,7 @@ def train(kind: str, ext: int, use_data: str = "coco",
             shuffle=False, seed=cfg.seed, epoch=epoch, pad_to=pad_to))
         for batch in itv:
             rng, vrng = jax.random.split(rng)
-            dev_batch = to_device(batch, vrng, provider=val_provider)
+            dev_batch = to_device(batch, provider=val_provider)
             if kind == "nic":
                 metrics = val_fn(state, dev_batch)
             else:
