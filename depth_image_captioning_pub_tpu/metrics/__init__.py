@@ -10,10 +10,12 @@ corpus-level math in pure Python/NumPy:
 * ROUGE-L — LCS F-measure, beta=1.2, max over references, mean over corpus.
 * CIDEr — pycocoevalcap cider_scorer: tf-idf n-gram vectors (n=1..4), df
   from the evaluation references, Gaussian length penalty sigma=6, x10.
-* METEOR — pure-Python exact+Porter-stem alignment approximation of METEOR
-  1.5 (the Java original also uses WordNet synonyms/paraphrases, unavailable
-  offline); documented deviation, same [0,1] scale and parameters
-  (alpha=0.9, beta=3.0, gamma=0.5).
+* METEOR — pure-Python METEOR 1.5: published en parameters (alpha=0.85,
+  beta=0.2, gamma=0.6, delta=0.75), optimal chunk-minimizing alignment,
+  function-word weighting, corpus score from aggregated stats (jar
+  semantics). Exact + Porter-stem matcher modules; the Java original's
+  WordNet-synonym/paraphrase modules need data files unavailable offline —
+  documented deviation (slight underestimate), same scale otherwise.
 
 All scorers are host-side (outside jit), as in the reference.
 """

@@ -1,0 +1,107 @@
+"""METEOR-1.5 alignment optimality tests (VERDICT r1 item 3).
+
+The jar's aligner picks, among maximum-cardinality one-to-one alignments,
+the one minimizing chunk count (then total distance). These adversarial
+cases are chosen so a greedy closest-position aligner returns MORE chunks
+than the optimum; the tests pin the optimal-chunk property.
+"""
+
+import time
+
+import pytest
+
+from depth_image_captioning_pub_tpu.metrics.meteor import (
+    MeteorStats, align, meteor_pair, score_from_stats, score_meteor,
+    segment_stats)
+
+
+def chunks_of(pairs):
+    if not pairs:
+        return 0
+    c = 1
+    for (h0, r0, _), (h1, r1, _) in zip(pairs, pairs[1:]):
+        if not (h1 == h0 + 1 and r1 == r0 + 1):
+            c += 1
+    return c
+
+
+def test_duplicate_words_chunk_minimized():
+    # hyp "a b a" vs ref "a a b": greedy closest-position picks
+    # (0,0) (1,2) (2,1) -> 3 chunks; optimal picks (0,1) (1,2) (2,0)
+    # -> the (0,1)(1,2) run is contiguous -> 2 chunks.
+    pairs = align("a b a".split(), "a a b".split())
+    assert len(pairs) == 3
+    assert chunks_of(pairs) == 2
+
+
+def test_crossing_block_chunk_minimized():
+    # hyp "x a b" vs ref "a b x": max cardinality 3; keeping "a b"
+    # contiguous yields 2 chunks; any aligner that breaks the block gets 3.
+    pairs = align("x a b".split(), "a b x".split())
+    assert len(pairs) == 3
+    assert chunks_of(pairs) == 2
+
+
+def test_max_cardinality_first():
+    # Matching fewer words could give 1 chunk, but cardinality dominates.
+    pairs = align("a b c d".split(), "c d a b".split())
+    assert len(pairs) == 4
+    assert chunks_of(pairs) == 2
+
+
+def test_duplicates_prefer_monotone_distance():
+    # Two interchangeable 'a's: distance tie-break selects the identity.
+    pairs = align("a a".split(), "a a".split())
+    assert pairs == [(0, 0, 0), (1, 1, 0)]
+    assert chunks_of(pairs) == 1
+
+
+def test_exact_preferred_over_stem_at_equal_distance():
+    # hyp word at i=1 can match ref "run" (stem, j=0) or ref "runs"
+    # (exact, j=2), both at distance 1 with one chunk either way; the
+    # module-weight tie-break must pick the exact match.
+    pairs = align("q runs".split(), "run x runs".split())
+    assert len(pairs) == 1
+    assert pairs[0] == (1, 2, 0)
+
+
+def test_distance_breaks_ties_before_module_weight():
+    # Closer stem match beats a farther exact match (jar ordering:
+    # cardinality > chunks > distance > module weight).
+    pairs = align("runs".split(), "run runs".split())
+    assert pairs == [(0, 0, 1)]
+
+
+def test_pathological_repeats_fast_and_aligned():
+    # 25 identical tokens: 25! complete alignments exist; the greedy-first
+    # ordering + dominance pruning must land the identity in milliseconds.
+    words = ["a"] * 25
+    t0 = time.time()
+    pairs = align(words, words)
+    assert time.time() - t0 < 2.0
+    assert len(pairs) == 25
+    assert chunks_of(pairs) == 1
+
+
+def test_corpus_score_is_aggregate_not_mean():
+    # jar semantics: the corpus score comes from summed stats, which is NOT
+    # the mean of segment scores in general.
+    gts = {0: ["a dog runs"], 1: ["the cat sat on the mat quietly"]}
+    res = {0: ["a dog runs"], 1: ["elephants fly"]}
+    st0 = segment_stats(res[0][0].split(), gts[0][0].split())
+    st1 = segment_stats(res[1][0].split(), gts[1][0].split())
+    total = MeteorStats()
+    total.add(st0)
+    total.add(st1)
+    expected = score_from_stats(total)
+    got = score_meteor(gts, res)
+    assert got == pytest.approx(expected)
+    mean = (score_from_stats(st0) + score_from_stats(st1)) / 2
+    assert abs(got - mean) > 1e-6
+
+
+def test_meteor_score_drops_with_fragmentation():
+    # Same matched words, more fragmentation -> lower score.
+    contiguous = meteor_pair("a dog runs fast", "a dog runs fast")
+    fragmented = meteor_pair("dog a fast runs", "a dog runs fast")
+    assert fragmented < contiguous

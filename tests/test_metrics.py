@@ -80,10 +80,12 @@ def test_cider_multi_image():
 
 
 def test_meteor_properties():
+    # Identical sentences: P = R = Fmean = 1, one chunk of m=3 matches,
+    # METEOR-1.5 en penalty gamma * (1/3)^beta.
     assert meteor_pair("a dog runs", "a dog runs") == pytest.approx(
-        (1.0 * 1.0 / (0.9 * 1.0 + 0.1 * 1.0)) * (1 - 0.5 * (1 / 3) ** 3))
-    assert meteor_pair("x y z", "a b c") == 0.0
-    # stem matching: "running" ~ "runs" via porter? run/run
+        1.0 - 0.6 * (1 / 3) ** 0.2)
+    assert meteor_pair("x y z", "q w e") == 0.0
+    # stem matching: "running" ~ "runs" via porter (run/run)
     assert meteor_pair("dog running", "dog runs") > meteor_pair(
         "dog walking", "dog runs")
 
