@@ -377,10 +377,12 @@ def _resize_pos_embed(pos: jax.Array, grid_old: int,
     tok, grid = pos[:, :1], pos[:, 1:]
     grid = grid.reshape(1, grid_old, grid_old, -1)
     # torch F.interpolate(mode="bilinear") default align_corners=False ==
-    # jax.image.resize "bilinear" (vit.py:111 passes no align_corners).
+    # jax.image.resize "bilinear" with antialias=False (vit.py:111 passes no
+    # align_corners; torch never antialiases here, jax defaults to True —
+    # matters when the grid SHRINKS, e.g. 24 -> 14 for 224-sized DPT).
     grid = jax.image.resize(grid,
                             (1, grid_new[0], grid_new[1], grid.shape[-1]),
-                            method="bilinear")
+                            method="bilinear", antialias=False)
     grid = grid.reshape(1, grid_new[0] * grid_new[1], -1)
     return jnp.concatenate([tok, grid], axis=1)
 

@@ -50,7 +50,12 @@ def resize_bilinear(images: jax.Array, hw) -> jax.Array:
     exact 384x384 upscale) and 384->224 after (depth_train.py:67, :190).
     """
     b, _, _, c = images.shape
-    return jax.image.resize(images, (b, hw[0], hw[1], c), method="bilinear")
+    # antialias=False: torch F.interpolate / torchvision tensor-mode Resize
+    # (torch 1.9) do not antialias, and jax.image.resize defaults to True —
+    # which silently changes every DOWNSCALE (e.g. depth 384->224,
+    # depth_train.py:190) while leaving upscales untouched.
+    return jax.image.resize(images, (b, hw[0], hw[1], c), method="bilinear",
+                            antialias=False)
 
 
 def standardize_depth_map(depth: jax.Array) -> jax.Array:

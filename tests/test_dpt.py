@@ -114,14 +114,11 @@ def test_dpt_pos_embed_resize(tiny_dpt):
     assert out.shape == (1, 96, 96)
 
 
-def test_dpt_bridge_shapes(tiny_dpt):
-    """Synthesize a torch-layout state dict from flax shapes, bridge it, and
-    require the result to tree-match init exactly."""
-    from depth_image_captioning_pub_tpu.utils.torch_bridge import dpt_to_flax
-    model, variables = tiny_dpt
-    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
-
-    rng = np.random.default_rng(0)
+def _make_tiny_sd(variables, seed=0):
+    """Synthesize a torch-layout DPT state dict with random weights whose
+    shapes mirror the tiny flax model's init tree (torch source names follow
+    the reference checkpoint layout, DPT_model.py:32-41)."""
+    rng = np.random.default_rng(seed)
     sd = {}
 
     def put_lin(name, kernel_shape):
@@ -205,6 +202,16 @@ def test_dpt_bridge_shapes(tiny_dpt):
     put_conv("scratch.output_conv.0", p["head_conv1"]["kernel"].shape)
     put_conv("scratch.output_conv.2", p["head_conv2"]["kernel"].shape)
     put_conv("scratch.output_conv.4", p["head_conv3"]["kernel"].shape)
+    return sd
+
+
+def test_dpt_bridge_shapes(tiny_dpt):
+    """Synthesize a torch-layout state dict from flax shapes, bridge it, and
+    require the result to tree-match init exactly."""
+    from depth_image_captioning_pub_tpu.utils.torch_bridge import dpt_to_flax
+    model, variables = tiny_dpt
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    sd = _make_tiny_sd(variables)
 
     bridged = dpt_to_flax(sd, resnet_layers=(1, 1, 1), vit_blocks=3)["params"]
 
@@ -220,7 +227,172 @@ def test_dpt_bridge_shapes(tiny_dpt):
     model.apply({"params": bridged}, jnp.zeros((1, 64, 64, 3)))
 
 
-def test_depth_estimator_pipeline(tiny_dpt):
+def _torch_twin_forward(sd, x_np, heads=4, blocks=3, hooks=(1, 2),
+                        pretrain_grid=24, n_stages=3):
+    """Torch restatement of the WHOLE reference DPT-hybrid forward
+    (dpt_depth.py:67-99, vit.py:61-155, blocks.py:230-341), weights from a
+    checkpoint-layout state dict: patch-embed backbone -> cls+pos (with
+    bilinear grid resize) -> blocks with taps -> project readout ->
+    reassembly convs -> scratch -> refinenets -> monocular head."""
+    import torch.nn.functional as F
+
+    t = lambda k: torch.from_numpy(sd[k])
+    x = torch.from_numpy(x_np).permute(0, 3, 1, 2)
+
+    def pad_same(x, k, s, value=0.0):
+        ih, iw = x.shape[-2:]
+        ph = max((-(-ih // s) - 1) * s + k - ih, 0)
+        pw = max((-(-iw // s) - 1) * s + k - iw, 0)
+        return F.pad(x, (pw // 2, pw - pw // 2, ph // 2, ph - ph // 2),
+                     value=value)
+
+    def stdconv(x, key, s):
+        w = t(key + ".weight")
+        mean = w.mean(dim=[1, 2, 3], keepdim=True)
+        var = w.var(dim=[1, 2, 3], keepdim=True, unbiased=False)
+        w = (w - mean) / torch.sqrt(var + 1e-6)
+        return F.conv2d(pad_same(x, w.shape[-1], s), w, stride=s)
+
+    def gn(x, key, act=True):
+        y = F.group_norm(x, 32, t(key + ".weight"), t(key + ".bias"),
+                         eps=1e-5)
+        return F.relu(y) if act else y
+
+    pre = "pretrained.model."
+    x = gn(stdconv(x, pre + "patch_embed.backbone.stem.conv", 2),
+           pre + "patch_embed.backbone.stem.norm")
+    x = F.max_pool2d(pad_same(x, 3, 2, value=float("-inf")), 3, stride=2)
+    taps = []
+    for si in range(n_stages):
+        src = f"{pre}patch_embed.backbone.stages.{si}.blocks.0."
+        stride = 2 if si > 0 else 1
+        sc = gn(stdconv(x, src + "downsample.conv", stride),
+                src + "downsample.norm", act=False)
+        y = gn(stdconv(x, src + "conv1", 1), src + "norm1")
+        y = gn(stdconv(y, src + "conv2", stride), src + "norm2")
+        y = gn(stdconv(y, src + "conv3", 1), src + "norm3", act=False)
+        x = F.relu(y + sc)
+        taps.append(x)
+    tap1, tap2, feat16 = taps
+
+    tokens = F.conv2d(feat16, t(pre + "patch_embed.proj.weight"),
+                      t(pre + "patch_embed.proj.bias"))
+    B, C, gh, gw = tokens.shape
+    tokens = tokens.flatten(2).transpose(1, 2)           # [B, N, C]
+    cls = t(pre + "cls_token").expand(B, 1, C)
+    pos = t(pre + "pos_embed")
+    if (gh, gw) != (pretrain_grid, pretrain_grid):
+        tok, grid = pos[:, :1], pos[:, 1:]
+        grid = grid.reshape(1, pretrain_grid, pretrain_grid, C).permute(
+            0, 3, 1, 2)
+        grid = F.interpolate(grid, size=(gh, gw), mode="bilinear")
+        grid = grid.flatten(2).transpose(1, 2)
+        pos = torch.cat([tok, grid], dim=1)
+    tokens = torch.cat([cls, tokens], dim=1) + pos
+
+    def lnorm(h, key):
+        return F.layer_norm(h, (C,), t(key + ".weight"), t(key + ".bias"),
+                            eps=1e-6)
+
+    tapmap = {}
+    for i in range(blocks):
+        src = f"{pre}blocks.{i}."
+        h = lnorm(tokens, src + "norm1")
+        N = h.shape[1]
+        qkv = h @ t(src + "attn.qkv.weight").T + t(src + "attn.qkv.bias")
+        q, k, v = qkv.reshape(B, N, 3, heads, C // heads).permute(
+            2, 0, 3, 1, 4)
+        attn = ((q @ k.transpose(-2, -1)) * (C // heads) ** -0.5).softmax(-1)
+        h = (attn @ v).transpose(1, 2).reshape(B, N, C)
+        tokens = tokens + (h @ t(src + "attn.proj.weight").T
+                           + t(src + "attn.proj.bias"))
+        h = lnorm(tokens, src + "norm2")
+        h = F.gelu(h @ t(src + "mlp.fc1.weight").T + t(src + "mlp.fc1.bias"))
+        tokens = tokens + (h @ t(src + "mlp.fc2.weight").T
+                           + t(src + "mlp.fc2.bias"))
+        if i == hooks[0]:
+            tapmap[3] = tokens
+        if i == hooks[1]:
+            tapmap[4] = tokens
+
+    def readout_map(tok, which):
+        cls_t, patches = tok[:, :1], tok[:, 1:]
+        rd = torch.cat([patches, cls_t.expand_as(patches)], dim=-1)
+        w = t(f"pretrained.act_postprocess{which}.0.project.0.weight")
+        b = t(f"pretrained.act_postprocess{which}.0.project.0.bias")
+        y = F.gelu(rd @ w.T + b)
+        return y.transpose(1, 2).reshape(B, C, gh, gw)
+
+    l3 = F.conv2d(readout_map(tapmap[3], 3),
+                  t("pretrained.act_postprocess3.3.weight"),
+                  t("pretrained.act_postprocess3.3.bias"))
+    l4 = F.conv2d(readout_map(tapmap[4], 4),
+                  t("pretrained.act_postprocess4.3.weight"),
+                  t("pretrained.act_postprocess4.3.bias"))
+    l4 = F.conv2d(l4, t("pretrained.act_postprocess4.4.weight"),
+                  t("pretrained.act_postprocess4.4.bias"), stride=2,
+                  padding=1)
+
+    rns = [F.conv2d(l, t(f"scratch.layer{i}_rn.weight"), padding=1)
+           for i, l in ((1, tap1), (2, tap2), (3, l3), (4, l4))]
+
+    def rcu(x, key):
+        y = F.relu(x)
+        y = F.conv2d(y, t(key + ".conv1.weight"), t(key + ".conv1.bias"),
+                     padding=1)
+        y = F.relu(y)
+        y = F.conv2d(y, t(key + ".conv2.weight"), t(key + ".conv2.bias"),
+                     padding=1)
+        return y + x
+
+    def fusion(i, x, skip=None):
+        key = f"scratch.refinenet{i}"
+        if skip is not None:
+            x = x + rcu(skip, key + ".resConfUnit1")
+        x = rcu(x, key + ".resConfUnit2")
+        x = F.interpolate(x, scale_factor=2, mode="bilinear",
+                          align_corners=True)
+        return F.conv2d(x, t(key + ".out_conv.weight"),
+                        t(key + ".out_conv.bias"))
+
+    p1 = fusion(1, fusion(2, fusion(3, fusion(4, rns[3]), rns[2]), rns[1]),
+                rns[0])
+    y = F.conv2d(p1, t("scratch.output_conv.0.weight"),
+                 t("scratch.output_conv.0.bias"), padding=1)
+    y = F.interpolate(y, scale_factor=2, mode="bilinear", align_corners=True)
+    y = F.conv2d(y, t("scratch.output_conv.2.weight"),
+                 t("scratch.output_conv.2.bias"), padding=1)
+    y = F.relu(y)
+    y = F.conv2d(y, t("scratch.output_conv.4.weight"),
+                 t("scratch.output_conv.4.bias"))
+    return F.relu(y)[:, 0].numpy()
+
+
+@pytest.mark.parametrize("hw", [(64, 64), (96, 96)])
+def test_tiny_dpt_full_forward_matches_torch_twin(tiny_dpt, hw):
+    """Full-model differential test (VERDICT r1 item 5): the entire tiny
+    hybrid — patch-embed, pos-embed interpolation, blocks with taps,
+    readout, reassembly, refinenet chaining, head — bridged via dpt_to_flax
+    and compared against the torch twin forward. Catches wiring bugs
+    (tap indices, readout order, fusion chaining) that the component
+    goldens above cannot. The 96x96 case shrinks the pos-embed grid
+    (24 -> 6), exercising _resize_pos_embed's antialias=False parity."""
+    from depth_image_captioning_pub_tpu.utils.torch_bridge import dpt_to_flax
+    model, variables = tiny_dpt
+    sd = _make_tiny_sd(variables, seed=7)
+    # Scale down: random-normal weights compound activation magnitude over
+    # the conv chain; keep values in a float32-friendly range.
+    sd = {k: (v * 0.25).astype(np.float32) for k, v in sd.items()}
+    bridged = dpt_to_flax(sd, resnet_layers=(1, 1, 1), vit_blocks=3)
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, *hw, 3)).astype(np.float32)
+    with torch.no_grad():
+        expected = _torch_twin_forward(sd, x)
+    got = np.asarray(model.apply(bridged, jnp.asarray(x)))
+    assert got.shape == expected.shape == (2, *hw)
+    scale = max(1.0, float(np.abs(expected).max()))
+    np.testing.assert_allclose(got, expected, atol=1e-4 * scale, rtol=1e-4)
     """Full provider chain: [0,1] 224 image -> standardized 224 depth map."""
     from depth_image_captioning_pub_tpu.models.dpt import DPTDepthEstimator
     from depth_image_captioning_pub_tpu.models.dpt import DPTDepthModel

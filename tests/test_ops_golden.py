@@ -170,6 +170,21 @@ def test_resize_bilinear_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5)
 
 
+def test_resize_bilinear_downscale_matches_torch(rng):
+    """DOWNSCALE parity (384->224 depth resize, depth_train.py:190): torch
+    F.interpolate never antialiases; jax.image.resize defaults antialias=True
+    — this test pins the antialias=False choice (they differ by ~0.1 rms on
+    this input if antialias is left on)."""
+    from depth_image_captioning_pub_tpu.ops.image_ops import resize_bilinear
+    x = rng.standard_normal((2, 24, 24, 3)).astype(np.float32)
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+    expected = torch.nn.functional.interpolate(
+        tx, size=(14, 14), mode="bilinear",
+        align_corners=False).permute(0, 2, 3, 1).numpy()
+    got = resize_bilinear(jnp.asarray(x), (14, 14))
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5)
+
+
 def test_normalizations_match_torchvision_math(rng):
     from depth_image_captioning_pub_tpu.ops.image_ops import (
         IMAGENET_MEAN, IMAGENET_STD, dpt_normalize, imagenet_normalize,
