@@ -79,8 +79,50 @@ def bench_tpu() -> float:
     return N_IMAGES / dt
 
 
-def bench_torch_cpu(sample: int = 4) -> float:
-    """Reference-shaped torch CPU pipeline, timed on `sample` images."""
+def bench_depth_tpu(n_images: int = 512, batch: int = 64) -> float:
+    """Depth-soft flagship throughput: the full pipeline ``entry()``
+    showcases — uint-range [0,1] images -> DPT-hybrid 384 depth estimate +
+    standardize + 224 resize, frozen ResNet-152 grid features, depth CNN
+    encoder, add-fusion soft-attention 30-step greedy scan — timed like
+    bench_tpu (staged inputs, fetch-clocked)."""
+    import jax
+    import jax.numpy as jnp
+    from depth_image_captioning_pub_tpu.config import ConfigEval
+    from depth_image_captioning_pub_tpu.engine.evaluate import make_caption_fn
+    from depth_image_captioning_pub_tpu.models.captioner import build_captioner
+    from depth_image_captioning_pub_tpu.models.dpt import DPTDepthEstimator
+
+    cfg = ConfigEval()
+    cap = build_captioner("depth-soft", VOCAB, cfg,
+                          encoder_dtype=jnp.bfloat16,
+                          decoder_dtype=jnp.float32)
+    params, frozen, stats = cap.init(jax.random.PRNGKey(0))
+    est = DPTDepthEstimator(dtype=jnp.bfloat16)
+    frozen = dict(frozen, dpt=est.init(jax.random.PRNGKey(1)))
+    fn = make_caption_fn(cap, start_id=VOCAB - 4, max_length=MAX_LEN,
+                         depth_fn=est.depth_fn())
+
+    rng = np.random.default_rng(0)
+    n_stage = 2
+    staged = [jax.device_put(rng.random((batch, *HW, 3), dtype=np.float32))
+              for _ in range(n_stage)]
+    key = jax.random.PRNGKey(0)
+    np.asarray(fn(frozen, params, stats, staged[0], key))  # compile+warm
+
+    n_batches = n_images // batch
+    t0 = time.perf_counter()
+    outs = [fn(frozen, params, stats, staged[i % n_stage], key)
+            for i in range(n_batches)]
+    tokens = np.asarray(jnp.concatenate(outs, axis=0))
+    dt = time.perf_counter() - t0
+    assert tokens.shape == (n_batches * batch, MAX_LEN)
+    return n_batches * batch / dt
+
+
+def bench_torch_cpu(sample: int = 8, repeats: int = 3) -> float:
+    """Reference-shaped torch CPU pipeline: median of `repeats` timed runs
+    over `sample` images (round-1 used one 4-image run; the median over
+    more work keeps vs_baseline stable run-to-run, VERDICT r1 item 7)."""
     import torch
     import torch.nn as nn
 
@@ -141,30 +183,40 @@ def bench_torch_cpu(sample: int = 4) -> float:
     encoder = ResNet152().eval()
 
     imgs = torch.rand(sample, 3, *HW)
-    with torch.no_grad():
-        t0 = time.perf_counter()
-        feats = encoder(imgs)                      # [B, 196, 2048]
-        hc = init_lin(feats.mean(1))
-        h, c = hc.chunk(2, dim=1)
-        prev = torch.zeros(sample, dtype=torch.long)
-        preds = np.zeros((sample, MAX_LEN), np.int64)
-        for step in range(MAX_LEN):
-            a1 = enc_att(feats)                    # recomputed per step,
-            a2 = dec_att(h)                        # as the reference does
-            att = full_att(torch.relu(a1 + a2.unsqueeze(1))).squeeze(2)
-            alpha = att.softmax(dim=1)
-            ctx = (feats * alpha.unsqueeze(2)).sum(1)
-            gate = torch.sigmoid(f_beta(h))
-            h, c = cell(torch.cat([embed(prev), gate * ctx], dim=1), (h, c))
-            logits = out_lin(h).softmax(dim=1)
-            prev = logits.argmax(dim=1)
-            preds[:, step] = prev.cpu().numpy()    # per-step host sync
-        dt = time.perf_counter() - t0
-    return sample / dt
+
+    def one_run() -> float:
+        with torch.no_grad():
+            t0 = time.perf_counter()
+            feats = encoder(imgs)                  # [B, 196, 2048]
+            hc = init_lin(feats.mean(1))
+            h, c = hc.chunk(2, dim=1)
+            prev = torch.zeros(sample, dtype=torch.long)
+            preds = np.zeros((sample, MAX_LEN), np.int64)
+            for step in range(MAX_LEN):
+                a1 = enc_att(feats)                # recomputed per step,
+                a2 = dec_att(h)                    # as the reference does
+                att = full_att(torch.relu(a1 + a2.unsqueeze(1))).squeeze(2)
+                alpha = att.softmax(dim=1)
+                ctx = (feats * alpha.unsqueeze(2)).sum(1)
+                gate = torch.sigmoid(f_beta(h))
+                h, c = cell(torch.cat([embed(prev), gate * ctx], dim=1),
+                            (h, c))
+                logits = out_lin(h).softmax(dim=1)
+                prev = logits.argmax(dim=1)
+                preds[:, step] = prev.cpu().numpy()  # per-step host sync
+            return time.perf_counter() - t0
+
+    times = sorted(one_run() for _ in range(repeats))
+    return sample / times[repeats // 2]
 
 
 def main():
     ours = bench_tpu()
+    try:
+        depth = bench_depth_tpu()
+    except Exception as e:  # secondary line must not kill the bench
+        print(f"depth-soft bench failed: {e}", file=sys.stderr)
+        depth = None
     try:
         baseline = bench_torch_cpu()
     except Exception as e:  # torch missing/broken should not kill the bench
@@ -177,6 +229,9 @@ def main():
         "value": round(ours, 2),
         "unit": "captions/sec/chip",
         "vs_baseline": round(ours / baseline, 2) if baseline else None,
+        # Flagship depth-soft pipeline (what __graft_entry__.entry() runs):
+        # DPT-hybrid 384^2 + ResNet-152 + depth CNN + fused decode, batch 64.
+        "depth_soft_captions_per_sec": round(depth, 2) if depth else None,
     }
     print(json.dumps(result))
 
