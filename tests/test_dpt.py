@@ -89,6 +89,21 @@ def test_vit_block_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(got), expected, atol=2e-4)
 
 
+def test_vit_block_padding_exact(rng):
+    """Zero-padding the token axis with n_valid masking must reproduce the
+    unpadded forward exactly on the real tokens (pad keys get -inf scores
+    -> zero softmax weight; per-token ops do not mix tokens)."""
+    from depth_image_captioning_pub_tpu.models.dpt import ViTBlock
+    blk = ViTBlock(dim=32, heads=4)
+    x = jnp.asarray(rng.standard_normal((2, 10, 32)).astype(np.float32))
+    variables = blk.init(jax.random.PRNGKey(0), x)
+    base = blk.apply(variables, x)
+    xp = jnp.pad(x, ((0, 0), (0, 6), (0, 0)))
+    padded = blk.apply(variables, xp, n_valid=10)[:, :10]
+    np.testing.assert_allclose(np.asarray(padded), np.asarray(base),
+                               atol=1e-6)
+
+
 @pytest.fixture(scope="module")
 def tiny_dpt():
     from depth_image_captioning_pub_tpu.models.dpt import DPTDepthModel
@@ -393,6 +408,9 @@ def test_tiny_dpt_full_forward_matches_torch_twin(tiny_dpt, hw):
     assert got.shape == expected.shape == (2, *hw)
     scale = max(1.0, float(np.abs(expected).max()))
     np.testing.assert_allclose(got, expected, atol=1e-4 * scale, rtol=1e-4)
+
+
+def test_depth_estimator_pipeline(tiny_dpt):
     """Full provider chain: [0,1] 224 image -> standardized 224 depth map."""
     from depth_image_captioning_pub_tpu.models.dpt import DPTDepthEstimator
     from depth_image_captioning_pub_tpu.models.dpt import DPTDepthModel
