@@ -200,6 +200,15 @@ class ViTBlock(nn.Module):
     heads: int = 12
     mlp_ratio: int = 4
     dtype: Dtype = jnp.float32
+    # Opt-in pallas fused attention (ops/pallas/vit_attention). Measured on
+    # v5e in the full depth-soft pipeline: statistical TIE with the XLA
+    # path (290.3 vs 286-288 caps/s, identical tokens) — XLA already fuses
+    # the padded+bf16-softmax attention well. Kept as an opt-in with tests,
+    # recorded like the other near-tie kernels (STATUS.md).
+    fused_attention: bool = False
+
+    def _use_fused(self) -> bool:
+        return self.fused_attention and jax.default_backend() != "cpu"
 
     @nn.compact
     def __call__(self, x: jax.Array,
@@ -211,14 +220,26 @@ class ViTBlock(nn.Module):
                        param_dtype=jnp.float32, name="qkv")(h)
         qkv = qkv.reshape(B, N, 3, self.heads, D // self.heads)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        scale = (D // self.heads) ** -0.5
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
-                          preferred_element_type=jnp.float32)
-        if n_valid is not None and n_valid < N:
-            attn = jnp.where(jnp.arange(N) >= n_valid, -jnp.inf, attn)
-        attn = jax.nn.softmax(attn.astype(self.dtype), axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
-                         preferred_element_type=self.dtype)
+        dh = D // self.heads
+        scale = dh ** -0.5
+        if self._use_fused():
+            from depth_image_captioning_pub_tpu.ops.pallas.vit_attention \
+                import fused_attention
+            zshape = (B * self.heads, N, dh)
+            out = fused_attention(
+                q.transpose(0, 2, 1, 3).reshape(zshape),
+                k.transpose(0, 2, 1, 3).reshape(zshape),
+                v.transpose(0, 2, 1, 3).reshape(zshape),
+                scale=scale, n_valid=n_valid if n_valid is not None else N)
+            out = out.reshape(B, self.heads, N, dh).transpose(0, 2, 1, 3)
+        else:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
+                              preferred_element_type=jnp.float32)
+            if n_valid is not None and n_valid < N:
+                attn = jnp.where(jnp.arange(N) >= n_valid, -jnp.inf, attn)
+            attn = jax.nn.softmax(attn.astype(self.dtype), axis=-1)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
+                             preferred_element_type=self.dtype)
         out = out.reshape(B, N, D)
         out = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                        name="proj")(out)
