@@ -59,7 +59,7 @@ def test_fixture_multi_image_multi_ref_bleu_rouge():
     # runs in the" = 5, p = r = 5/6, beta=1.2 F = 5/6 (p == r); vs ref2:
     # LCS "dog" = 1, F = 2.44*(1/6)*(1/5)/((1/5)+1.44*(1/6)) = 0.1848 ->
     # max 5/6. Mean = (1 + 5/6)/2 = 11/12.
-    assert score_rouge(gts, res)[0] == pytest.approx(11 / 12, rel=1e-6)
+    assert score_rouge(gts, res) == pytest.approx(11 / 12, rel=1e-6)
 
 
 def test_fixture_brevity_penalty():
