@@ -23,14 +23,17 @@ VOCAB, D_ATT, D_EMB, D_ENC, D_HID, K = 50, 16, 12, 24, 20, 196
 
 
 class TorchSoftDecoder(nn.Module):
-    """Reference-semantics soft-attention decoder (greedy batch path)."""
+    """Reference-semantics soft-attention decoder (greedy batch path).
 
-    def __init__(self):
+    ``d_enc`` defaults to D_ENC; the MD_* concat-fusion twin passes the
+    concatenated channel dim (reference mlp_dim_encoder, config.py:19)."""
+
+    def __init__(self, d_enc=D_ENC):
         super().__init__()
         class Att(nn.Module):
             def __init__(self):
                 super().__init__()
-                self.encoder_att = nn.Linear(D_ENC, D_ATT)
+                self.encoder_att = nn.Linear(d_enc, D_ATT)
                 self.decoder_att = nn.Linear(D_HID, D_ATT)
                 self.full_att = nn.Linear(D_ATT, 1)
 
@@ -43,9 +46,9 @@ class TorchSoftDecoder(nn.Module):
 
         self.attention = Att()
         self.embed = nn.Embedding(VOCAB, D_EMB)
-        self.decode_step = nn.LSTMCell(D_EMB + D_ENC, D_HID)
-        self.init_linear = nn.Linear(D_ENC, D_HID * 2)
-        self.f_beta = nn.Linear(D_HID, D_ENC)
+        self.decode_step = nn.LSTMCell(D_EMB + d_enc, D_HID)
+        self.init_linear = nn.Linear(d_enc, D_HID * 2)
+        self.f_beta = nn.Linear(D_HID, d_enc)
         self.linear = nn.Linear(D_HID, VOCAB)
 
     @torch.no_grad()
@@ -121,6 +124,55 @@ def test_teacher_forcing_logits_and_alphas_match(bridged):
                                 train=False, rng=jax.random.PRNGKey(0))
     np.testing.assert_allclose(np.asarray(logits), exp_logits, atol=2e-5)
     np.testing.assert_allclose(np.asarray(alphas), exp_alphas, atol=2e-5)
+
+
+def test_depth_add_fusion_token_ids_match(bridged):
+    """CD_* decoders differ from base only by features.add(depth_features)
+    before everything (reference depth_models.py:163): a fusion='add'
+    decoder with the SAME bridged weights must reproduce the torch twin run
+    on pre-summed features, token for token."""
+    from depth_image_captioning_pub_tpu.models.decoder import AttentionDecoder
+    tdec, _, params = bridged
+    jdec = AttentionDecoder(vocab_size=VOCAB, dim_attention=D_ATT,
+                            dim_embedding=D_EMB, dim_encoder=D_ENC,
+                            dim_decoder=D_HID, attention_kind="soft",
+                            fusion="add", dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    feats = rng.standard_normal((5, K, D_ENC)).astype(np.float32)
+    depth = rng.standard_normal((5, K, D_ENC)).astype(np.float32)
+    expected = tdec.batch_sample(torch.from_numpy(feats + depth), start_id=3)
+    got, _ = jdec.apply({"params": params}, jnp.asarray(feats), 3,
+                        jnp.asarray(depth), max_length=30,
+                        method=jdec.greedy_sample)
+    np.testing.assert_array_equal(np.asarray(got), expected)
+
+
+def test_depth_concat_fusion_token_ids_match():
+    """MD_* decoders concat depth on the channel dim (depth_models.py:376);
+    the twin is the same decoder sized to the concatenated channels
+    (mlp_dim_encoder semantics, config.py:19) run on concatenated input."""
+    from depth_image_captioning_pub_tpu.models.decoder import AttentionDecoder
+    from depth_image_captioning_pub_tpu.utils.torch_bridge import (
+        attention_decoder_to_flax)
+    d_dep = 8
+    torch.manual_seed(4)
+    tdec = TorchSoftDecoder(d_enc=D_ENC + d_dep).eval()
+    params = attention_decoder_to_flax(_state_dict_np(tdec))
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    jdec = AttentionDecoder(vocab_size=VOCAB, dim_attention=D_ATT,
+                            dim_embedding=D_EMB, dim_encoder=D_ENC,
+                            dim_decoder=D_HID, attention_kind="soft",
+                            fusion="concat", dim_depth=d_dep,
+                            dtype=jnp.float32)
+    rng = np.random.default_rng(8)
+    feats = rng.standard_normal((5, K, D_ENC)).astype(np.float32)
+    depth = rng.standard_normal((5, K, d_dep)).astype(np.float32)
+    cat = np.concatenate([feats, depth], axis=-1)
+    expected = tdec.batch_sample(torch.from_numpy(cat), start_id=3)
+    got, _ = jdec.apply({"params": params}, jnp.asarray(feats), 3,
+                        jnp.asarray(depth), max_length=30,
+                        method=jdec.greedy_sample)
+    np.testing.assert_array_equal(np.asarray(got), expected)
 
 
 class TorchNICDecoder(nn.Module):
