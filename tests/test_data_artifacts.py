@@ -43,6 +43,31 @@ def test_config_eval_index_paths_resolve(monkeypatch):
     assert len(load_index_file(cfg.remCOCO_500_ori_index_dir)) == 500
 
 
+def test_shipped_sample_images_flow_through_sample_mode(tmp_path):
+    """The shipped sample_pic JPEGs must decode and run through the real
+    sample-mode path (resize, caption, overlay PNGs, caption.txt) —
+    exercised with a stub captioner so no checkpoint is needed."""
+    from depth_image_captioning_pub_tpu.engine.visualize import (
+        sample_directory)
+
+    k = 196
+    id_to_word = {0: "<start>", 1: "a", 2: "dog", 3: "<end>"}
+
+    def caption_one(arr):
+        assert arr.shape == (224, 224, 3)
+        assert arr.dtype == np.float32 and 0.0 <= arr.min() <= arr.max() <= 1.0
+        tokens = np.array([0, 1, 2, 3], np.int32)
+        alphas = np.full((4, k), 1.0 / k, np.float32)
+        return tokens, alphas
+
+    src = os.path.join(REPO, "sample_pic", "dog")
+    captions = sample_directory(src, str(tmp_path), caption_one, id_to_word)
+    assert captions and all(c == "a dog" for c in captions.values())
+    assert os.path.exists(os.path.join(str(tmp_path), "caption.txt"))
+    overlays = glob.glob(os.path.join(str(tmp_path), "*", "*.png"))
+    assert overlays, "no overlay PNGs written"
+
+
 def test_sample_dirs_exist_with_images(monkeypatch):
     monkeypatch.chdir(REPO)
     from depth_image_captioning_pub_tpu.config import ConfigEval
