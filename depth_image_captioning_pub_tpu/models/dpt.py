@@ -41,6 +41,13 @@ import flax.linen as nn
 
 Dtype = Any
 
+# Token-axis pad granularity for the ViT stack (see DPTDepthModel).
+# Swept on v5e (batch 64, 577 tokens): 584 (x8) -> 292.5 caps/s,
+# 608 (x64) -> 288.1, 640 (x128) -> 286-290, unpadded 577 -> 222.9 —
+# the win comes from 8-row sublane alignment; larger multiples only add
+# padded compute. Module-level so experiments can override before tracing.
+TOKEN_PAD_MULTIPLE = 8
+
 
 # ---------------------------------------------------------------------------
 # Exact align_corners=True bilinear resize as separable matmuls.
@@ -349,13 +356,14 @@ class DPTDepthModel(nn.Module):
             [jnp.broadcast_to(cls.astype(self.dtype), (B, 1, self.vit_dim)),
              tokens], axis=1)
         tokens = tokens + pos.astype(self.dtype)
-        # Zero-pad the token axis to a multiple of 128 (MXU lane width):
-        # 577 tokens at 384^2 tile as 5x128 minus masked softmax instead of
-        # ragged 577-row ops (measured ~5x on the batch-64 ViT stack on
-        # v5e). Exactness for real tokens is kept by ViTBlock's n_valid
-        # masking; pad rows are sliced off at the taps.
+        # Zero-pad the token axis to TOKEN_PAD_MULTIPLE (8-row sublane
+        # alignment): 577 ragged tokens at 384^2 tile badly; 584 aligned
+        # rows + masked softmax run the 12-block stack ~1.3x faster end to
+        # end (sweep in the TOKEN_PAD_MULTIPLE comment). Exactness for real
+        # tokens is kept by ViTBlock's n_valid masking; pad rows are
+        # sliced off at the taps.
         n_tok = tokens.shape[1]
-        n_pad = (-n_tok) % 128
+        n_pad = (-n_tok) % TOKEN_PAD_MULTIPLE
         if n_pad:
             tokens = jnp.pad(tokens, ((0, 0), (0, n_pad), (0, 0)))
         n_valid = n_tok if n_pad else None
