@@ -100,6 +100,57 @@ def test_corpus_score_is_aggregate_not_mean():
     assert abs(got - mean) > 1e-6
 
 
+def test_alignment_optimal_vs_brute_force():
+    """Randomized cross-check: for tiny sentences, enumerate EVERY one-to-
+    one alignment and verify the DFS result is optimal under the jar's
+    objective (max matches, then min chunks, then min total distance)."""
+    import itertools
+    import random
+
+    from depth_image_captioning_pub_tpu.metrics.meteor import _candidates
+
+    def brute_best(hyp, ref):
+        cands = _candidates(hyp, ref)
+        best = None
+        # choice per hyp word: one of its candidate ref slots, or skip
+        options = [row + [None] for row in cands]
+        for combo in itertools.product(*options):
+            used = set()
+            pairs = []
+            ok = True
+            for i, pick in enumerate(combo):
+                if pick is None:
+                    continue
+                j, stage = pick
+                if j in used:
+                    ok = False
+                    break
+                used.add(j)
+                pairs.append((i, j, stage))
+            if not ok:
+                continue
+            key = (-len(pairs), chunks_of(pairs),
+                   sum(abs(h - r) for h, r, _ in pairs))
+            if best is None or key < best:
+                best = key
+        return best
+
+    words = ["a", "b", "c", "a", "b"]
+    rnd = random.Random(0)
+    for _ in range(40):
+        hyp = [rnd.choice(words) for _ in range(rnd.randint(1, 5))]
+        ref = [rnd.choice(words) for _ in range(rnd.randint(1, 5))]
+        got = align(hyp, ref)
+        got_key = (-len(got), chunks_of(got),
+                   sum(abs(h - r) for h, r, _ in got))
+        expected = brute_best(hyp, ref)
+        if expected is None:
+            assert got == []
+        else:
+            # DFS must match brute force on (matches, chunks, distance)
+            assert got_key == expected, (hyp, ref, got_key, expected)
+
+
 def test_meteor_score_drops_with_fragmentation():
     # Same matched words, more fragmentation -> lower score.
     contiguous = meteor_pair("a dog runs fast", "a dog runs fast")
