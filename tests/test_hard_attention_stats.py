@@ -98,3 +98,51 @@ def test_different_keys_give_different_samples():
     # and the same key reproduces exactly (jax determinism)
     _, a3 = gumbel_max_attention(p, feats, fp, hid, jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a3))
+
+
+def test_hard_attention_math_exact_given_identical_noise():
+    """Given the SAME Gumbel draws, our hard-attention math reproduces the
+    reference's exactly (torch restatement of attention.py:6-44,
+    :132-167) — isolating the documented deviation to the RNG source
+    alone: alpha from softmax((e+g)/temp) matches to fp tolerance and the
+    Gumbel-max one-hot selections match exactly."""
+    import pytest
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.default_rng(5)
+    p = _params(rng)
+    feats = jnp.asarray(rng.standard_normal((4, K, D)).astype(np.float32))
+    hidden = jnp.asarray(rng.standard_normal((4, H)).astype(np.float32))
+    proj = project_features(p, feats)
+
+    # identical noise for both sides, drawn once with jax
+    g = np.asarray(jax.random.gumbel(jax.random.PRNGKey(3), (4, K),
+                                     dtype=jnp.float32))
+
+    # torch restatement of the scorer + Gumbel paths
+    tf = torch.from_numpy
+    e = (torch.relu(tf(np.asarray(feats)) @ tf(np.asarray(p.w_enc))
+                    + tf(np.asarray(p.b_enc))
+                    + (tf(np.asarray(hidden)) @ tf(np.asarray(p.w_dec))
+                       + tf(np.asarray(p.b_dec))).unsqueeze(1))
+         @ tf(np.asarray(p.w_full))) + float(p.b_full)
+    temp = 0.73
+    alpha_t = ((e + tf(g)) / temp).softmax(dim=1)
+    ctx_t = (tf(np.asarray(feats)) * alpha_t.unsqueeze(2)).sum(dim=1)
+    pos_t = (e + tf(g)).argmax(dim=1)
+
+    # our paths, with the jax.random.gumbel call returning the same g
+    # (same key and shape -> identical draws by construction)
+    ctx_j, alpha_j = gumbel_softmax_attention(
+        p, feats, proj, hidden, jnp.float32(temp), jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(alpha_j), alpha_t.numpy(),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ctx_j), ctx_t.numpy(), atol=1e-5)
+
+    ctx_m, alpha_m = gumbel_max_attention(p, feats, proj, hidden,
+                                          jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(alpha_m).argmax(axis=1),
+                                  pos_t.numpy())
+    np.testing.assert_allclose(
+        np.asarray(ctx_m),
+        np.asarray(feats)[np.arange(4), pos_t.numpy()], atol=1e-6)
