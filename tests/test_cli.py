@@ -103,6 +103,35 @@ def test_depth_main_and_eval(coco_tree):
     assert (d / "coco_scores.pkl").exists()
 
 
+def test_base_main_hard_and_eval(coco_tree):
+    """The hard-attention CLI path — the exact route where the reference
+    crashes (base_main.py:32 NameError) and mis-saves into the soft dirs
+    (base_train.py:253); ours must save under exp_result/base_hard and
+    score from there."""
+    import base_main
+    import base_evaluation
+    assert base_main.main(["hard", "coco", "--epochs", "1",
+                           "--exp-time", "1"]) == 0
+    d = coco_tree / "exp_result" / "base_hard"
+    assert (d / "base_hard_decoder_best_coco0.pth.msgpack").exists()
+    assert (d / "base_hard_train_loss_coco0.csv").exists()
+    assert base_evaluation.main(["hard", "score", "coco",
+                                 "--num-sets", "1"]) == 0
+    assert (d / "coco_scores.pkl").exists()
+
+
+def test_depth_main_mlp_path(coco_tree):
+    """The MLP-depth CLI path (reference: crashes at import,
+    depth_main.py:4; SURVEY §4.1): trains the mdepth-soft config and
+    writes mdepth_* component checkpoints."""
+    import depth_main
+    assert depth_main.main(["soft", "mlp", "coco", "--epochs", "1",
+                            "--exp-time", "1", "--no-depth-cache"]) == 0
+    d = coco_tree / "exp_result" / "CNN_depth_soft"
+    assert (d / "mdepth_soft_decoder_best_coco0.pth.msgpack").exists()
+    assert (d / "mdepth_soft_D_encoder_best_coco0.pth.msgpack").exists()
+
+
 def test_depth_main_rejects_bad_args():
     import depth_main
     assert depth_main.main(["soft", "cnn", "imagenet"]) == 1
