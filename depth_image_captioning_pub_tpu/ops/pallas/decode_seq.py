@@ -62,10 +62,12 @@ def _pick_block(bsz: int, k: int, d: int, a: int, itemsize: int,
 
 def _make_kernel(max_length: int, start_id: int, end_id: int):
     """end_id >= 0 gives finished captions <end>-padding semantics (rows
-    that emitted <end> keep emitting it), matching the XLA early-exit path's
-    OUTPUT exactly; the loop itself stays fixed-length — Mosaic cannot
-    legalize scf.while/scf.for carries needed for a true in-kernel early
-    exit (i1 vector layouts), see the note at the loop."""
+    that emitted <end> keep emitting it) AND a true in-kernel early exit:
+    the time loop is a lax.while_loop that stops once every row in the
+    block has emitted <end>. Round 1's attempt failed on i1 VECTOR loop
+    carries; carrying ``done`` as int32 and reducing to a scalar bool in
+    the condition legalizes under Mosaic. end_id < 0 keeps the fixed
+    fori_loop (reference semantics without <end> handling)."""
 
     def kernel(feat_ref, proj_ref, h0_ref, c0_ref,
                w_dec_ref, b_dec_ref, w_full_ref, b_full_ref,
@@ -139,13 +141,37 @@ def _make_kernel(max_length: int, start_id: int, end_id: int):
                            h0_ref.dtype)
         acc0 = jnp.zeros((blk, max_length), jnp.int32)
         done0 = jnp.zeros((blk,), jnp.int32)
-        carry0 = (h0_ref[:], c0_ref[:], emb0, (acc0, done0))
-        # NOTE: a lax.while_loop early exit was attempted here but Mosaic
-        # cannot legalize scf.yield for this carry (i1 vector layouts); the
-        # fixed fori_loop stays, with the done mask preserving the
-        # <end>-padding OUTPUT semantics of the early-exit XLA path.
-        _, _, _, (acc, _) = jax.lax.fori_loop(0, max_length, step, carry0)
-        tok_out_ref[:] = acc
+        if end_id >= 0:
+            # True in-kernel early exit: while_loop with an all-int32
+            # carry and a SCALAR condition. (Round 1's attempt failed on
+            # i1 *vector* loop carries; keeping ``done`` int32 and
+            # reducing to a scalar bool in the condition legalizes.)
+            def cond(carry):
+                t, _, _, _, _, done = carry
+                return jnp.logical_and(t < max_length,
+                                       jnp.sum(done) < blk)
+
+            def body(carry):
+                t, h, c, emb, acc, done = carry
+                h, c, emb, (acc, done) = step(
+                    t, (h, c, emb, (acc, done)))
+                return (t + 1, h, c, emb, acc, done)
+
+            carry0 = (jnp.int32(0), h0_ref[:], c0_ref[:], emb0, acc0,
+                      done0)
+            t_fin, _, _, _, acc, _ = jax.lax.while_loop(cond, body, carry0)
+            # Early exit leaves slots t >= t_fin unwritten; the loop only
+            # exits early when EVERY row is done, so those slots are all
+            # <end> (matching the XLA early-exit path's output). When
+            # t_fin == max_length no column qualifies.
+            col = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+            acc = jnp.where(col >= t_fin, end_id, acc)
+            tok_out_ref[:] = acc
+        else:
+            carry0 = (h0_ref[:], c0_ref[:], emb0, (acc0, done0))
+            _, _, _, (acc, _) = jax.lax.fori_loop(0, max_length, step,
+                                                  carry0)
+            tok_out_ref[:] = acc
 
     return kernel
 

@@ -86,3 +86,35 @@ def test_pick_block_respects_budget_and_divisibility():
     assert 2 * per_batch + 6_000_000 <= _VMEM_BUDGET
     # tiny shapes allow larger blocks that still divide the batch
     assert _pick_block(16, 49, 64, 32, 24, 32, 4, 10000) == 16
+
+
+def test_whole_sequence_kernel_early_exit_matches_xla():
+    """end_id >= 0 turns on the in-kernel while_loop early exit; output
+    must equal the XLA early-exit scan both when captions end early (vocab
+    head biased so every row emits <end> within a few steps) and when they
+    never end."""
+    import jax
+    from depth_image_captioning_pub_tpu.models.decoder import AttentionDecoder
+    end_id = 3
+    dec = AttentionDecoder(vocab_size=40, dim_attention=8, dim_embedding=8,
+                           dim_encoder=16, dim_decoder=12, dtype=jnp.float32)
+    feats = jnp.asarray(np.random.default_rng(11).standard_normal(
+        (8, 49, 16)).astype(np.float32))
+    params = dec.init(jax.random.PRNGKey(0), feats,
+                      jnp.zeros((8, 5), jnp.int32), train=False,
+                      rng=jax.random.PRNGKey(1))["params"]
+
+    for bias in (6.0, -6.0):   # early-everywhere vs (almost) never
+        p = jax.tree_util.tree_map(lambda x: x, params)
+        p = dict(p)
+        out_b = np.asarray(p["out_b"]).copy()
+        out_b[end_id] += bias
+        p["out_b"] = jnp.asarray(out_b)
+        ref, _ = dec.apply({"params": p}, feats, 2, max_length=9,
+                           end_id=end_id, method=dec.greedy_sample)
+        got, _ = dec.apply({"params": p}, feats, 2, max_length=9,
+                           end_id=end_id, use_pallas=True,
+                           method=dec.greedy_sample)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        if bias > 0:
+            assert np.all(np.asarray(got) == end_id)
