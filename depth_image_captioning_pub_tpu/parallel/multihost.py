@@ -7,9 +7,10 @@ code changes — `jax.devices()` returns the global device set after
 1-D mesh over it, and per-host input feeding follows the standard JAX SPMD
 recipe (each host supplies its local shard of the global batch).
 
-Untestable in this single-host environment; kept as the documented,
-minimal entry point (the analogue of the reference's *absent* multi-node
-NCCL story).
+Tested for real in ``tests/test_multihost.py``: two separate processes
+(4 virtual CPU devices each) join through ``initialize``, build the
+8-device global mesh, and compute a global sum over per-host shards —
+the analogue of the reference's *absent* multi-node NCCL story.
 """
 
 from __future__ import annotations
