@@ -137,10 +137,27 @@ def align(hyp: Sequence[str], ref: Sequence[str]
 
     # hyp positions that have any candidate, in order.
     live = [i for i in range(len(hyp)) if cands[i]]
+
+    def greedy_seed() -> List[Tuple[int, int, int]]:
+        """Closest-position greedy alignment: guarantees a non-None result
+        even if the node budget exhausts before the DFS reaches its first
+        max-cardinality leaf (pathological repeated-word inputs)."""
+        used = [False] * len(ref)
+        pairs = []
+        for i in live:
+            for j, stage in cands[i]:
+                if not used[j]:
+                    used[j] = True
+                    pairs.append((i, j, stage))
+                    break
+        return pairs
     # suffix_live[k] = how many live positions remain at/after live[k]
     # (upper bound on additional matches — used for cardinality pruning).
-    best: List[Optional[List[Tuple[int, int, int]]]] = [None]
+    seed = greedy_seed()
+    best: List[Optional[List[Tuple[int, int, int]]]] = [seed]
     best_key = [(float("inf"), float("inf"), float("-inf"))]
+    # The seed's key only becomes the pruning bar if it is max-cardinality
+    # (otherwise its (chunks, dist) would wrongly prune better alignments).
     used_r = [False] * len(ref)
     nodes = [0]
 
