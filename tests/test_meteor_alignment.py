@@ -156,3 +156,23 @@ def test_meteor_score_drops_with_fragmentation():
     contiguous = meteor_pair("a dog runs fast", "a dog runs fast")
     fragmented = meteor_pair("dog a fast runs", "a dog runs fast")
     assert fragmented < contiguous
+
+
+def test_node_budget_exhaustion_falls_back_to_greedy(monkeypatch):
+    """With the search budget forced to ~zero, align() must still return a
+    VALID one-to-one alignment (the greedy seed), never crash or return
+    None — the production guarantee for pathological inputs."""
+    import depth_image_captioning_pub_tpu.metrics.meteor as m
+
+    monkeypatch.setattr(m, "_NODE_BUDGET", 1)
+    hyp = ["a", "b", "a", "b", "a"]
+    ref = ["b", "a", "b", "a", "b"]
+    pairs = m.align(hyp, ref)
+    assert pairs, "fallback must produce a non-empty alignment"
+    hs = [h for h, _, _ in pairs]
+    rs = [r for _, r, _ in pairs]
+    assert len(set(hs)) == len(hs) and len(set(rs)) == len(rs)  # one-to-one
+    for h, r, stage in pairs:
+        assert hyp[h] == ref[r] and stage == 0  # every pair a real match
+    # scoring still works through the public API
+    assert 0.0 < m.meteor_pair(" ".join(hyp), " ".join(ref)) <= 1.0
