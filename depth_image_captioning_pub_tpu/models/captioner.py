@@ -141,9 +141,14 @@ class Captioner:
         Memoized per (key, image_hw): eval loads 3 checkpoint sets and only
         needs the init as a shape template — one full-ResNet init, not 3.
         """
-        cache_key = (int(jax.random.key_data(rng)[-1])
-                     if hasattr(jax.random, "key_data") else None,
-                     tuple(image_hw))
+        # Hash the FULL key data: hashing only one word would let two
+        # different seeds collide and silently return the wrong cached init.
+        import numpy as _np
+        key_words = (tuple(_np.asarray(jax.random.key_data(rng)).ravel()
+                           .tolist())
+                     if hasattr(jax.random, "key_data")
+                     else tuple(_np.asarray(rng).ravel().tolist()))
+        cache_key = (key_words, tuple(image_hw))
         if not hasattr(self, "_init_cache"):
             self._init_cache = {}
         if cache_key not in self._init_cache:

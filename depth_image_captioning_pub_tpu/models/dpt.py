@@ -209,9 +209,13 @@ class ViTBlock(nn.Module):
     dtype: Dtype = jnp.float32
     # Opt-in pallas fused attention (ops/pallas/vit_attention). Measured on
     # v5e in the full depth-soft pipeline: statistical TIE with the XLA
-    # path (290.3 vs 286-288 caps/s, identical tokens) — XLA already fuses
-    # the padded+bf16-softmax attention well. Kept as an opt-in with tests,
-    # recorded like the other near-tie kernels (STATUS.md).
+    # path (290.3 vs 286-288 caps/s) — XLA already fuses the padded +
+    # bf16-softmax attention well. Kept as an opt-in with tests, recorded
+    # like the other near-tie kernels (STATUS.md). Numerics differ by
+    # construction: the kernel softmaxes in f32 (closer to the f32
+    # reference) while this XLA path softmaxes in the block dtype; caption
+    # token agreement between the two is an empirical observation on the
+    # shipped model, not a guarantee.
     fused_attention: bool = False
 
     def _use_fused(self) -> bool:

@@ -66,7 +66,11 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     in v's dtype. ``n_valid`` masks padded key positions (pass N for none).
     """
     Z, N, d = q.shape
-    per_program = 4 * N * N + 2 * N * N + 3 * 2 * N * d
+    # Footprint follows the INPUT dtype (bf16 on the inference path, f32 in
+    # parity/CPU tests — the latter doubles the q/k/v/o and probs tiles):
+    # f32 score tile + probs cast to v.dtype + q/k/v/o tiles.
+    itemsize = jnp.dtype(q.dtype).itemsize
+    per_program = 4 * N * N + itemsize * N * N + 4 * itemsize * N * d
     assert per_program < _VMEM_SOFT_LIMIT, (
         f"attention tile too large for whole-row kernel: {per_program}")
     spec = pl.BlockSpec((1, N, d), lambda i: (i, 0, 0))
