@@ -48,6 +48,13 @@ Dtype = Any
 # padded compute. Module-level so experiments can override before tracing.
 TOKEN_PAD_MULTIPLE = 8
 
+# Opt-in tanh-approximate GELU for the ViT MLPs (jax.nn.gelu approximate=
+# True). The exact erf GELU costs ~7 ms of the depth-soft call (STATUS.md
+# r2 ablation); tanh-GELU differs from the reference's torch.nn.GELU
+# (exact erf) by ~1e-3 relative, so it is NOT the parity default — flip for
+# throughput-over-parity deployments. A/B numbers live in STATUS.md.
+GELU_APPROXIMATE = False
+
 
 # ---------------------------------------------------------------------------
 # Exact align_corners=True bilinear resize as separable matmuls.
@@ -259,7 +266,7 @@ class ViTBlock(nn.Module):
                          param_dtype=jnp.float32, name="norm2")(x)
         h = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype,
                      param_dtype=jnp.float32, name="fc1")(h)
-        h = jax.nn.gelu(h, approximate=False)
+        h = jax.nn.gelu(h, approximate=GELU_APPROXIMATE)
         h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                      name="fc2")(h)
         return x + h
@@ -303,9 +310,23 @@ class ResidualConvUnit(nn.Module):
         return y + x
 
 
+# FeatureFusionBlock applies its 1x1 out_conv BEFORE the x2 align-corners
+# upsample. The reference computes resize-then-conv (blocks.py:329-341), but
+# a 1x1 conv is a pointwise affine map and every align-corners interpolation
+# row sums to 1, so conv and resize commute EXACTLY in real arithmetic
+# (conv(resize(x))[p] = W·Σw_i x_i + b = Σw_i (W·x_i + b) = resize(conv(x))[p];
+# pinned by tests/test_dpt.py::test_fusion_out_conv_commutes_with_resize).
+# Running the conv first does the same channel mixing on 4x fewer pixels —
+# this attacks the measured ~50 ms bandwidth-bound refinenet stage across
+# all four fusion blocks (VERDICT r2 item 1). Set False to restore the
+# reference op order (same math, slower) for A/B runs.
+OUT_CONV_BEFORE_RESIZE = True
+
+
 class FeatureFusionBlock(nn.Module):
     """RefineNet-style fusion: add refined skip, refine, upsample x2
-    (align_corners), 1x1 out conv (blocks.py:289-341)."""
+    (align_corners), 1x1 out conv (blocks.py:289-341; out_conv hoisted
+    before the resize — exact commute, see OUT_CONV_BEFORE_RESIZE)."""
 
     features: int = 256
     dtype: Dtype = jnp.float32
@@ -316,9 +337,13 @@ class FeatureFusionBlock(nn.Module):
             x = x + ResidualConvUnit(self.features, dtype=self.dtype,
                                      name="res1")(skip)
         x = ResidualConvUnit(self.features, dtype=self.dtype, name="res2")(x)
+        out_conv = nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                           param_dtype=jnp.float32, name="out_conv")
+        if OUT_CONV_BEFORE_RESIZE:
+            x = out_conv(x)
+            return resize_align_corners(x, (x.shape[1] * 2, x.shape[2] * 2))
         x = resize_align_corners(x, (x.shape[1] * 2, x.shape[2] * 2))
-        return nn.Conv(self.features, (1, 1), dtype=self.dtype,
-                       param_dtype=jnp.float32, name="out_conv")(x)
+        return out_conv(x)
 
 
 # ---------------------------------------------------------------------------

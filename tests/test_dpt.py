@@ -104,6 +104,29 @@ def test_vit_block_padding_exact(rng):
                                atol=1e-6)
 
 
+def test_fusion_out_conv_commutes_with_resize(rng):
+    """The hoisted 1x1 out_conv (conv-then-resize) must equal the
+    reference's resize-then-conv order: a 1x1 conv is pointwise affine and
+    align-corners interpolation rows sum to 1, so the two orders are the
+    same map in real arithmetic (reference order: blocks.py:329-341)."""
+    from depth_image_captioning_pub_tpu.models import dpt as dpt_mod
+
+    blk = dpt_mod.FeatureFusionBlock(features=16)
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 16)).astype(np.float32))
+    skip = jnp.asarray(rng.standard_normal((2, 6, 6, 16)).astype(np.float32))
+    variables = blk.init(jax.random.PRNGKey(0), x, skip)
+    assert dpt_mod.OUT_CONV_BEFORE_RESIZE  # shipped default
+    hoisted = blk.apply(variables, x, skip)
+    try:
+        dpt_mod.OUT_CONV_BEFORE_RESIZE = False
+        reference_order = blk.apply(variables, x, skip)
+    finally:
+        dpt_mod.OUT_CONV_BEFORE_RESIZE = True
+    np.testing.assert_allclose(np.asarray(hoisted),
+                               np.asarray(reference_order),
+                               atol=1e-5, rtol=1e-5)
+
+
 @pytest.fixture(scope="module")
 def tiny_dpt():
     from depth_image_captioning_pub_tpu.models.dpt import DPTDepthModel
