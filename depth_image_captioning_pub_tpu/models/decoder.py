@@ -360,15 +360,28 @@ class AttentionDecoder(nn.Module):
                     depth_features: Optional[jax.Array] = None, *,
                     beam_size: int = 5, max_length: int = 30,
                     length_penalty: float = 0.0,
-                    rng: Optional[jax.Array] = None
+                    rng: Optional[jax.Array] = None,
+                    use_pallas: bool = False
                     ) -> Tuple[jax.Array, jax.Array]:
         """Batched beam search, one lax.scan (ops/decode.beam_search).
 
         Returns (tokens [B, max_length], scores [B]). With beam_size=1 this
         ranks identically to greedy decode.
+
+        ``use_pallas`` (soft attention only) runs the ENTIRE search in one
+        whole-sequence kernel with features/weights VMEM-resident
+        (ops/pallas/beam_seq.py) — same search semantics; near-tie argmax
+        steps may flip on TPU (FP accumulation order), bit-identical in CPU
+        interpret mode.
         """
         from depth_image_captioning_pub_tpu.ops.decode import (
             beam_search, tile_for_beams)
+
+        if use_pallas and self.attention_kind == "soft":
+            return self._beam_sample_pallas(
+                features, start_id, end_id, depth_features,
+                beam_size=beam_size, max_length=max_length,
+                length_penalty=length_penalty)
 
         features = self.fuse(features, depth_features).astype(self.dtype)
         features_proj = project_features(self._att_params(), features)
@@ -421,3 +434,44 @@ class AttentionDecoder(nn.Module):
         return beam_search(step_fn, init, batch, start_id, end_id,
                            beam_size=beam_size, max_length=max_length,
                            length_penalty=length_penalty)
+
+    def _beam_sample_pallas(self, features: jax.Array, start_id: int,
+                            end_id: int,
+                            depth_features: Optional[jax.Array], *,
+                            beam_size: int, max_length: int,
+                            length_penalty: float
+                            ) -> Tuple[jax.Array, jax.Array]:
+        """Whole-search Pallas kernel path (ops/pallas/beam_seq.py)."""
+        from depth_image_captioning_pub_tpu.ops.pallas.beam_seq import (
+            fused_beam_decode, select_best)
+        from depth_image_captioning_pub_tpu.ops.pallas.decode_seq import (
+            DecodeSeqWeights)
+        from depth_image_captioning_pub_tpu.ops.pallas.decode_step import (
+            pack_weights)
+        interpret = jax.default_backend() == "cpu"
+        features = self.fuse(features, depth_features).astype(self.dtype)
+        features_proj = project_features(self._att_params(), features)
+        state = self.init_state(features)
+        sw = pack_weights(self.att_w_dec, self.att_b_dec,
+                          self.att_w_full[:, 0], self.att_b_full[0],
+                          self.f_beta_w, self.f_beta_b,
+                          self.lstm_w_ih, self.lstm_w_hh, self.lstm_b_ih,
+                          self.lstm_b_hh, dim_embedding=self.dim_embedding)
+        w = DecodeSeqWeights(sw, self.out_w, self.out_b[None, :], self.embed)
+        bsz = features.shape[0]
+        pad = (-bsz) % 8
+        h, c = state.h, state.c
+        if pad:
+            features = jnp.concatenate(
+                [features, jnp.repeat(features[:1], pad, axis=0)], axis=0)
+            features_proj = jnp.concatenate(
+                [features_proj, jnp.repeat(features_proj[:1], pad, axis=0)],
+                axis=0)
+            h = jnp.concatenate([h, jnp.repeat(h[:1], pad, 0)], 0)
+            c = jnp.concatenate([c, jnp.repeat(c[:1], pad, 0)], 0)
+        out = fused_beam_decode(features, features_proj, h, c, w,
+                                beam_size=beam_size, max_length=max_length,
+                                start_id=start_id, end_id=end_id,
+                                interpret=interpret)
+        tokens, scores = select_best(out, end_id, length_penalty)
+        return tokens[:bsz], scores[:bsz]

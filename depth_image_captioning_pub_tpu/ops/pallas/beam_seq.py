@@ -1,0 +1,346 @@
+"""Whole-sequence batched BEAM SEARCH as one Pallas TPU kernel.
+
+Motivation (VERDICT r2 stretch): the greedy whole-sequence kernel
+(decode_seq.py) ties XLA at the measurement floor because greedy decode is
+cheap; at beam width W the XLA scan re-reads every per-step intermediate
+([B*W] states, [B,K,D] features, the [B*W,V] logits) from HBM 30 times and
+launches its ~15-kernel cascade per step. Here the entire search runs in
+ONE kernel launch: features, the attention/LSTM weights, the embedding
+table and the vocab head stay VMEM-resident for all steps, and beams are
+reordered in-register via one-hot matmuls.
+
+Algorithmic contract: bit-for-bit the same search as ops/decode.beam_search
+(scores init beam0-only, finished rows restricted to a zero-cost <end>,
+flat top-k over W*V with first-occurrence tie-breaks, GNMT length penalty
+applied at selection time) — the kernel emits per-step (token, parent)
+records plus final beam scores, and the tiny backtrace that reconstructs
+the reordered history runs in XLA afterwards. Differences are FP-reorder
+only (TPU matmul accumulation order), same caveat as the greedy kernel.
+
+In-kernel specifics:
+* top-k = W iterations of (max, argmax, mask-out) over the [blk, W*V]
+  score sheet — W is 3..5, and argmax's lowest-index tie rule matches
+  lax.top_k's stable ordering;
+* beam reordering of h/c/emb/finished is a [blk,W,W] one-hot batched
+  matmul (Mosaic has no cheap dynamic gather);
+* early exit once every (image, beam) is finished — identity parents and
+  <end> tokens for the skipped tail are provably equivalent to running the
+  remaining steps (finished beams only re-sort by score, which the final
+  argmax is invariant to);
+* the embedding lookup is a one-hot [blk*W, V] x [V, E] matmul.
+
+Soft attention only (the hard decoder's per-step Gumbel noise needs the
+XLA path); greedy (W=1) callers should use decode_seq.py.
+
+MEASURED RESULT (v5e, base-soft, batch 250, beam 5, 4000 images,
+back-to-back warm runs): XLA scan 2939 / 2944 caps/s, this kernel
+2532 caps/s -> **0.86x, a recorded negative**. The VMEM-residency win is
+outweighed by the in-kernel top-k: without lax.top_k, selection costs W
+hierarchical max/argmax passes over the [blk, W, V] f32 score cube per
+step (W*3 VPU sweeps of ~3 MB per program), while XLA's batched top_k over
+[B, W*V] is a single fused pass. Kept opt-in (--pallas-decode with
+--beam): bit-identical to the XLA search in interpret mode
+(tests/test_beam_kernel.py), useful as the baseline for any future
+Mosaic-native top-k. Mosaic lessons recorded: minor-dim folding reshapes
+([blk,W,V]->[blk,W*V]) and i1 minor-dim insertion are unsupported — use
+hierarchical reductions and rank-preserving one-hot compares instead.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from depth_image_captioning_pub_tpu.ops.pallas.decode_seq import (
+    DecodeSeqWeights)
+
+_VMEM_BUDGET = 90 * 1024 * 1024
+_VMEM_LIMIT = 110 * 1024 * 1024
+NEG_INF = -1e9  # identical constant to ops/decode.NEG_INF
+
+
+class BeamSeqOutputs(NamedTuple):
+    tokens: jax.Array    # [B, W, L] int32: token chosen for beam w at t
+    parents: jax.Array   # [B, W, L] int32: parent beam of beam w at t
+    scores: jax.Array    # [B, W] f32: final cumulative log-probs
+
+
+def _pick_block(bsz: int, w: int, k: int, d: int, a: int, v: int,
+                itemsize: int, weight_bytes: int) -> int:
+    for blk in (32, 16, 8):
+        if bsz % blk:
+            continue
+        feats = blk * k * (d + a) * itemsize
+        act = blk * w * k * a * 4
+        sheets = blk * w * v * 4 * 3          # logits, logprobs, flat
+        if feats + act + sheets + weight_bytes <= _VMEM_BUDGET:
+            return blk
+    return 8
+
+
+def _make_kernel(max_length: int, start_id: int, end_id: int, beam: int):
+    W = beam
+
+    def kernel(feat_ref, proj_ref, h0_ref, c0_ref,
+               w_dec_ref, b_dec_ref, w_full_ref, b_full_ref,
+               w_fb_ref, b_fb_ref, w_ih_e_ref, w_ih_c_ref, w_hh_ref,
+               b_lstm_ref, w_out_ref, b_out_ref, embed_ref,
+               tok_out_ref, par_out_ref, score_out_ref):
+        blk = h0_ref.shape[0]
+        vocab = w_out_ref.shape[1]
+        hdim = h0_ref.shape[1]
+        feats = feat_ref[:]                    # [blk, K, D]
+        proj = proj_ref[:]                     # [blk, K, A]
+
+        def onehot_rows(idx, width, dtype):
+            """[N] int32 -> [N, width] one-hot."""
+            return (idx[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (idx.shape[0], width), 1)).astype(dtype)
+
+        def step(t, h, c, emb, scores, finished, acc_tok, acc_par):
+            # ---- model step for all blk*W rows --------------------------
+            dec = jnp.dot(h, w_dec_ref[:],
+                          preferred_element_type=jnp.float32) + b_dec_ref[:]
+            dec3 = dec.reshape(blk, W, 1, -1).astype(proj.dtype)
+            act = jnp.maximum(proj[:, None] + dec3, 0.0)   # [blk,W,K,A]
+            b_, w_, k_, a_ = act.shape
+            e = jnp.dot(act.reshape(b_ * w_ * k_, a_), w_full_ref[:],
+                        preferred_element_type=jnp.float32)
+            e = e.reshape(b_, w_, k_) + b_full_ref[0, 0]
+            alpha = jax.nn.softmax(e, axis=-1)
+            ctx = jax.lax.dot_general(
+                alpha.astype(feats.dtype), feats,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)        # [blk, W, D]
+            ctx = ctx.reshape(blk * W, -1)
+            gate = jax.nn.sigmoid(
+                jnp.dot(h, w_fb_ref[:], preferred_element_type=jnp.float32)
+                + b_fb_ref[:])
+            gated = (gate * ctx).astype(w_ih_c_ref.dtype)
+            gates = (jnp.dot(emb, w_ih_e_ref[:],
+                             preferred_element_type=jnp.float32)
+                     + jnp.dot(gated, w_ih_c_ref[:],
+                               preferred_element_type=jnp.float32)
+                     + jnp.dot(h, w_hh_ref[:],
+                               preferred_element_type=jnp.float32)
+                     + b_lstm_ref[:])
+            i_g, f_g, g_g, o_g = jnp.split(gates, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f_g) * c.astype(jnp.float32) \
+                + jax.nn.sigmoid(i_g) * jnp.tanh(g_g)
+            h_new = jax.nn.sigmoid(o_g) * jnp.tanh(c_new)
+            logits = jnp.dot(h_new.astype(w_out_ref.dtype), w_out_ref[:],
+                             preferred_element_type=jnp.float32) \
+                + b_out_ref[:]                              # [blk*W, V]
+            logprobs = jax.nn.log_softmax(logits, axis=-1)
+
+            # ---- beam update (ops/decode.beam_search semantics) ---------
+            lp = logprobs.reshape(blk, W, vocab)
+            # finished beams: only <end> continues, at zero cost
+            vocab_iota = jax.lax.broadcasted_iota(jnp.int32, lp.shape, 2)
+            fin_lp = jnp.where(vocab_iota == end_id, 0.0, NEG_INF)
+            # expand the int32 BEFORE comparing: Mosaic cannot insert a
+            # minor dim on an i1 vector ("only supported for 32-bit types")
+            lp = jnp.where(finished[..., None] > 0, fin_lp, lp)
+            total = scores[..., None] + lp                  # [blk, W, V]
+
+            # Flat top-k WITHOUT the [blk, W*V] reshape (Mosaic: folding
+            # the minor dim is an unsupported shape cast). Hierarchical
+            # (max over vocab, then over beams) with one-hot row selection
+            # keeps lax.top_k's tie order: smallest beam, then smallest
+            # token — exactly the flat argmax's lowest-flat-index rule.
+            w_iota = jax.lax.broadcasted_iota(jnp.int32, (blk, W), 1)
+            work = total
+            score_rows, parent_rows, token_rows = [], [], []
+            for _ in range(W):
+                per_beam = jnp.max(work, axis=2)            # [blk, W]
+                m = jnp.max(per_beam, axis=1)               # [blk]
+                beam_sel = jnp.argmax(per_beam, axis=1).astype(jnp.int32)
+                beam_oh = (w_iota == beam_sel[:, None]).astype(work.dtype)
+                row = jnp.sum(work * beam_oh[:, :, None], axis=1)  # [blk,V]
+                tok_sel = jnp.argmax(row, axis=1).astype(jnp.int32)
+                score_rows.append(m)
+                parent_rows.append(beam_sel)
+                token_rows.append(tok_sel)
+                hit = beam_oh[:, :, None] * (
+                    vocab_iota == tok_sel[:, None, None]).astype(work.dtype)
+                work = jnp.where(hit > 0, NEG_INF, work)
+            new_scores = jnp.stack(score_rows, axis=1)      # [blk, W]
+            parent = jnp.stack(parent_rows, axis=1)         # [blk, W]
+            token = jnp.stack(token_rows, axis=1)           # [blk, W]
+
+            # reorder carried state by parent via one-hot batched matmul
+            # (perm built by rank-preserving compares — no 1D reshapes)
+            perm = (parent[:, :, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (blk, W, W), 2)).astype(jnp.float32)
+
+            def reorder(x):
+                x3 = x.reshape(blk, W, -1).astype(jnp.float32)
+                y = jax.lax.dot_general(
+                    perm, x3,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                return y.reshape(blk * W, -1)
+
+            h_new = reorder(h_new)
+            c_new = reorder(c_new)
+            fin_f = jnp.sum(perm * finished[:, None, :].astype(jnp.float32),
+                            axis=2)                          # [blk, W]
+            finished = jnp.maximum((fin_f > 0.5).astype(jnp.int32),
+                                   (token == end_id).astype(jnp.int32))
+
+            tok_oh = (token[:, :, None] == vocab_iota).astype(
+                embed_ref.dtype)                             # [blk, W, V]
+            emb_next = jax.lax.dot_general(
+                tok_oh, embed_ref[:],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [blk, W, E]
+            emb_next = emb_next.reshape(blk * W, -1)
+
+            tmask = (jax.lax.broadcasted_iota(
+                jnp.int32, acc_tok.shape, 2) == t).astype(jnp.int32)
+            acc_tok = acc_tok + token[:, :, None] * tmask
+            acc_par = acc_par + parent[:, :, None] * tmask
+            return (h_new.astype(h.dtype), c_new.astype(c.dtype),
+                    emb_next.astype(emb.dtype), new_scores, finished,
+                    acc_tok, acc_par)
+
+        # ---- init: beam 0 live, identical state across beams -------------
+        h0 = jnp.broadcast_to(h0_ref[:][:, None, :],
+                              (blk, W, hdim)).reshape(blk * W, hdim)
+        c0 = jnp.broadcast_to(c0_ref[:][:, None, :],
+                              (blk, W, hdim)).reshape(blk * W, hdim)
+        start_tok = jnp.full((blk * W,), start_id, jnp.int32)
+        emb0 = jnp.dot(onehot_rows(start_tok, vocab, embed_ref.dtype),
+                       embed_ref[:],
+                       preferred_element_type=jnp.float32).astype(h0.dtype)
+        beam_iota = jax.lax.broadcasted_iota(jnp.int32, (blk, W), 1)
+        scores0 = jnp.where(beam_iota == 0, 0.0, NEG_INF)
+        finished0 = jnp.zeros((blk, W), jnp.int32)
+        acc_tok0 = jnp.zeros((blk, W, max_length), jnp.int32)
+        acc_par0 = jnp.zeros((blk, W, max_length), jnp.int32)
+
+        def cond(carry):
+            t, _, _, _, _, finished, _, _ = carry
+            return jnp.logical_and(t < max_length,
+                                   jnp.sum(finished) < blk * W)
+
+        def body(carry):
+            t, h, c, emb, scores, finished, acc_tok, acc_par = carry
+            h, c, emb, scores, finished, acc_tok, acc_par = step(
+                t, h, c, emb, scores, finished, acc_tok, acc_par)
+            return (t + 1, h, c, emb, scores, finished, acc_tok, acc_par)
+
+        carry0 = (jnp.int32(0), h0, c0, emb0, scores0, finished0,
+                  acc_tok0, acc_par0)
+        t_fin, _, _, _, scores, _, acc_tok, acc_par = jax.lax.while_loop(
+            cond, body, carry0)
+        # Early-exit tail: <end> tokens + identity parents (equivalent to
+        # running the remaining all-finished steps, see module docstring).
+        col = jax.lax.broadcasted_iota(jnp.int32, acc_tok.shape, 2)
+        acc_tok = jnp.where(col >= t_fin, end_id, acc_tok)
+        acc_par = jnp.where(col >= t_fin,
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, acc_par.shape, 1), acc_par)
+        tok_out_ref[:] = acc_tok
+        par_out_ref[:] = acc_par
+        score_out_ref[:] = scores
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("beam_size", "max_length", "start_id",
+                                    "end_id", "interpret"))
+def fused_beam_decode(features: jax.Array, features_proj: jax.Array,
+                      h0: jax.Array, c0: jax.Array, w: DecodeSeqWeights,
+                      *, beam_size: int, max_length: int = 30,
+                      start_id: int = 0, end_id: int = 0,
+                      interpret: bool = False) -> BeamSeqOutputs:
+    """Run the whole beam search in one kernel; returns per-step records.
+
+    features/h0/c0 are PER-IMAGE (untiled — the kernel broadcasts across
+    beams internally). B must be a multiple of 8.
+    """
+    bsz, k, d = features.shape
+    assert bsz % 8 == 0, f"batch {bsz} must be a multiple of 8"
+    a = features_proj.shape[-1]
+    hdim = h0.shape[-1]
+    vocab = w.w_out.shape[1]
+    itemsize = jnp.dtype(features.dtype).itemsize
+    flat_w = list(w.step) + [w.w_out, w.b_out, w.embed]
+    weight_bytes = sum(int(np.prod(x.shape)) * jnp.dtype(x.dtype).itemsize
+                       for x in flat_w)
+    blk = _pick_block(bsz, beam_size, k, d, a, vocab, itemsize, weight_bytes)
+    grid = (bsz // blk,)
+
+    def batch_spec(*shape):
+        return pl.BlockSpec((blk,) + shape,
+                            lambda i: (i,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def weight_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [batch_spec(k, d), batch_spec(k, a), batch_spec(hdim),
+                batch_spec(hdim)] + [weight_spec(x) for x in flat_w]
+    tokens, parents, scores = pl.pallas_call(
+        _make_kernel(max_length, start_id, end_id, beam_size),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[batch_spec(beam_size, max_length),
+                   batch_spec(beam_size, max_length),
+                   batch_spec(beam_size)],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, beam_size, max_length), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, beam_size, max_length), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, beam_size), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(features, features_proj, h0, c0, *flat_w)
+    return BeamSeqOutputs(tokens, parents, scores)
+
+
+def reconstruct_history(out: BeamSeqOutputs) -> jax.Array:
+    """Per-step (token, parent) records -> reordered history [B, W, L],
+    identical to ops/decode.beam_search's ``history`` carry: a reverse
+    walk threading each final beam through its parent chain."""
+    tokens, parents, _ = out
+    L = tokens.shape[-1]
+
+    def walk(beam_idx, t):
+        # beam_idx [B, W]: which ancestor each FINAL beam occupied at t+1
+        tok = jnp.take_along_axis(tokens[:, :, t], beam_idx, axis=1)
+        parent = jnp.take_along_axis(parents[:, :, t], beam_idx, axis=1)
+        return parent, tok
+
+    beam0 = jnp.broadcast_to(
+        jnp.arange(tokens.shape[1])[None, :], tokens.shape[:2])
+    _, hist_rev = jax.lax.scan(walk, beam0, jnp.arange(L - 1, -1, -1))
+    return jnp.flip(jnp.swapaxes(jnp.swapaxes(hist_rev, 0, 1), 1, 2), -1)
+
+
+def select_best(out: BeamSeqOutputs, end_id: int,
+                length_penalty: float = 0.0):
+    """Final selection, bit-matching ops/decode.beam_search's tail."""
+    history = reconstruct_history(out)          # [B, W, L]
+    scores = out.scores
+    max_length = history.shape[-1]
+    if length_penalty > 0.0:
+        lengths = jnp.minimum(
+            jnp.argmax(history == end_id, axis=-1) + 1, max_length)
+        norm = scores / (lengths.astype(jnp.float32) ** length_penalty)
+    else:
+        norm = scores
+    best = jnp.argmax(norm, axis=1)
+    tokens = jnp.take_along_axis(
+        history, best[:, None, None], axis=1)[:, 0]
+    best_scores = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]
+    return tokens, best_scores
