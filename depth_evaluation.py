@@ -31,6 +31,7 @@ def main(argv=None):
     rest = []
     num_sets = 3
     beam_size = 1
+    use_pallas = False
     it = iter(args)
     for a in it:
         if a == "--dpt-weights":
@@ -41,6 +42,8 @@ def main(argv=None):
             num_sets = int(next(it))
         elif a == "--beam":
             beam_size = int(next(it))
+        elif a == "--pallas-decode":
+            use_pallas = True
         else:
             rest.append(a)
     args = rest
@@ -54,7 +57,8 @@ def main(argv=None):
         depth_fn, dpt_vars = make_depth_fn(cfg)
         return base_cli.score_mode(args[0], args[2], cfg, depth=True,
                                    depth_fn=depth_fn, dpt_variables=dpt_vars,
-                                   num_sets=num_sets, beam_size=beam_size)
+                                   num_sets=num_sets, beam_size=beam_size,
+                                   use_pallas=use_pallas)
     if len(args) == 4 and args[1] == "sample":
         if args[3] not in sample_datas:
             print("input coco or original")

@@ -89,10 +89,13 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
                                          batch_stats, depth_maps,
                                          train=False)
         if beam_size > 1:
+            # use_pallas routes the whole search through one VMEM-resident
+            # kernel (ops/pallas/beam_seq.py; soft attention only)
             tokens, _ = cap.decoder.apply(
                 {"params": params["decoder"]}, feats, start_id, end_id, dep,
                 beam_size=beam_size, max_length=max_length,
                 length_penalty=length_penalty, rng=rng,
+                use_pallas=use_pallas,
                 method=AttentionDecoder.beam_sample)
             return tokens
         # end_id (when known) turns on early-exit greedy decode: the scan
@@ -128,13 +131,20 @@ def generate_captions(caption_fn: Callable, frozen, params, batch_stats,
         for row in toks:
             hypos.append(ids_to_caption(row, id_to_word))
 
-    it = Prefetcher(eval_batches(dataset, word_to_id, batch_size,
-                                 pad_to=batch_size), depth=prefetch)
-    for i, batch in enumerate(it):
+    def staged(batches):
+        """Start the host->device image transfer from the prefetch thread:
+        jax.device_put is async, so the PCIe/tunnel copy overlaps the
+        previous batch's decode instead of serializing in the timed loop
+        (measured on the bench rig: e2e 36.7 -> see BENCH_r03 after)."""
+        for b in batches:
+            yield b, jax.device_put(b.images)
+
+    it = Prefetcher(staged(eval_batches(dataset, word_to_id, batch_size,
+                                        pad_to=batch_size)), depth=prefetch)
+    for i, (batch, dev_images) in enumerate(it):
         refs.extend(batch.references)
         rng, key = jax.random.split(rng)
-        tokens = caption_fn(frozen, params, batch_stats,
-                            jnp.asarray(batch.images), key)
+        tokens = caption_fn(frozen, params, batch_stats, dev_images, key)
         pending.append((tokens, int(batch.pad_mask.sum())))
         if len(pending) > 1:
             drain(pending.pop(0))
