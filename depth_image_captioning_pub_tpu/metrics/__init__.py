@@ -13,9 +13,11 @@ corpus-level math in pure Python/NumPy:
 * METEOR — pure-Python METEOR 1.5: published en parameters (alpha=0.85,
   beta=0.2, gamma=0.6, delta=0.75), optimal chunk-minimizing alignment,
   function-word weighting, corpus score from aggregated stats (jar
-  semantics). Exact + Porter-stem matcher modules; the Java original's
-  WordNet-synonym/paraphrase modules need data files unavailable offline —
-  documented deviation (slight underestimate), same scale otherwise.
+  semantics). Exact + Porter-stem matcher modules always; the WordNet
+  synonym and paraphrase modules activate when a user supplies the jar's
+  data files via $METEOR_SYNONYMS / $METEOR_PARAPHRASES (and the exact
+  function-word list via $METEOR_FUNCTION_WORDS) — offline default without
+  them is a documented slight underestimate, same scale otherwise.
 
 All scorers are host-side (outside jit), as in the reference.
 """

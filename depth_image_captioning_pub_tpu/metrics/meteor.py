@@ -9,15 +9,34 @@ with its published English parameters:
     alpha=0.85, beta=0.2, gamma=0.6, delta=0.75
     module weights: exact=1.0, stem=0.6 (syn=0.8, par=0.6 unavailable)
 
-and two of its four matcher modules — exact and Porter-stem. Remaining
-deviations from the jar, documented:
+and all four matcher modules — exact and Porter-stem always, WordNet-synonym
+and paraphrase when their data files are supplied (the data itself is not
+redistributable in this environment, so the offline default runs
+exact+stem only). External data hooks, each a path in an environment
+variable (or set programmatically via :func:`set_meteor_data`):
 
-* The WordNet synonym and paraphrase-table modules need data files that are
-  not in this environment; with fewer matches found, scores are a slight
+* ``METEOR_FUNCTION_WORDS`` — one word per line (#-comments allowed); the
+  jar's ``function.words.english`` resource is exactly this format.
+* ``METEOR_SYNONYMS`` — one synset per line, whitespace-separated members
+  (exportable from WordNet in two lines of nltk); two words match on the
+  synonym stage iff they share a synset, the jar's rule.
+* ``METEOR_PARAPHRASES`` — lines ``phrase1 ||| phrase2`` (an optional third
+  ``||| prob`` field is ignored), ``.gz`` transparent — the layout of the
+  jar's ``paraphrase-en.gz``. Only single-word<->single-word entries are
+  usable by the one-to-one word aligner below; multi-word phrase entries
+  are skipped (a residual, documented underestimate vs the jar, which
+  aligns phrase blocks).
+
+Remaining deviations from the jar when no data files are given:
+
+* Fewer matcher stages find fewer matches, so scores are a slight
   *underestimate* of Java METEOR.
 * METEOR's English function-word list is derived from corpus frequencies
   (relative frequency > 1e-3); ``_FUNCTION_WORDS`` below is a curated
-  high-frequency English function-word list standing in for it.
+  high-frequency English function-word list standing in for it (the rule
+  is published but the corpus is not, so the exact list cannot be
+  reconstructed offline — supply the jar's own list via
+  ``METEOR_FUNCTION_WORDS`` for exactness).
 
 Alignment is the jar's objective, solved exactly: among one-to-one word
 alignments of **maximum cardinality**, pick the one with the **fewest
@@ -47,7 +66,11 @@ ALPHA = 0.85
 BETA = 0.2
 GAMMA = 0.6
 DELTA = 0.75
-STAGE_WEIGHTS = (1.0, 0.6)  # exact, stem
+# Module weights for the full en pipeline: exact, stem, synonym, paraphrase
+# (Denkowski & Lavie 2014). Stages 2/3 only produce candidates when their
+# data files are loaded (see module docstring), so the offline default
+# behaves exactly like the previous exact+stem implementation.
+STAGE_WEIGHTS = (1.0, 0.6, 0.8, 0.6)
 
 # Stand-in for METEOR's corpus-frequency English function-word list
 # (see module docstring). Words here get weight (1-delta), content words
@@ -75,27 +98,114 @@ weren won wouldn
 _NODE_BUDGET = 200_000
 
 
+@dataclasses.dataclass(frozen=True)
+class MeteorData:
+    """External METEOR-1.5 data (module docstring documents the formats).
+
+    ``synsets`` maps word -> frozenset of synset ids; ``paraphrases`` holds
+    unordered single-word pairs as frozensets (the jar's table lists both
+    directions; storing unordered pairs makes lookup direction-free).
+    """
+    function_words: frozenset = frozenset()
+    synsets: Optional[Dict[str, frozenset]] = None
+    paraphrases: Optional[frozenset] = None
+
+
+def _read_lines(path: str) -> List[str]:
+    import gzip
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt", encoding="utf-8") as f:
+        return [ln.strip() for ln in f
+                if ln.strip() and not ln.lstrip().startswith("#")]
+
+
+def load_function_words(path: str) -> frozenset:
+    return frozenset(w for ln in _read_lines(path) for w in ln.split())
+
+
+def load_synsets(path: str) -> Dict[str, frozenset]:
+    by_word: Dict[str, set] = {}
+    for sid, ln in enumerate(_read_lines(path)):
+        for w in ln.split():
+            by_word.setdefault(w.lower(), set()).add(sid)
+    return {w: frozenset(s) for w, s in by_word.items()}
+
+
+def load_paraphrases(path: str) -> frozenset:
+    pairs = set()
+    skipped = 0
+    for ln in _read_lines(path):
+        fields = [f.strip() for f in ln.split("|||")]
+        if len(fields) < 2:
+            continue
+        a, b = fields[0], fields[1]
+        if len(a.split()) == 1 and len(b.split()) == 1 and a != b:
+            pairs.add(frozenset((a.lower(), b.lower())))
+        else:
+            skipped += 1
+    if skipped:
+        import sys
+        print(f"meteor: skipped {skipped} multi-word paraphrase entries "
+              f"(one-to-one word aligner; see metrics/meteor.py docstring)",
+              file=sys.stderr)
+    return frozenset(pairs)
+
+
+_data: Optional[MeteorData] = None
+
+
+def set_meteor_data(data: Optional[MeteorData]) -> None:
+    """Install external METEOR data (None -> re-read env at next use)."""
+    global _data
+    _data = data
+
+
+def _active_data() -> MeteorData:
+    """Lazily build the active data from the METEOR_* env hooks."""
+    global _data
+    if _data is None:
+        import os
+        fw_path = os.environ.get("METEOR_FUNCTION_WORDS")
+        syn_path = os.environ.get("METEOR_SYNONYMS")
+        par_path = os.environ.get("METEOR_PARAPHRASES")
+        _data = MeteorData(
+            function_words=(load_function_words(fw_path) if fw_path
+                            else _FUNCTION_WORDS),
+            synsets=load_synsets(syn_path) if syn_path else None,
+            paraphrases=load_paraphrases(par_path) if par_path else None)
+    return _data
+
+
 def _is_function(word: str) -> bool:
-    return word in _FUNCTION_WORDS
+    return word in _active_data().function_words
 
 
 def _candidates(hyp: Sequence[str], ref: Sequence[str]
                 ) -> List[List[Tuple[int, int]]]:
-    """Per hyp position: [(ref position, stage)] — stage 0 exact, 1 stem.
+    """Per hyp position: [(ref position, stage)] — stage 0 exact, 1 stem,
+    2 synonym (shared synset), 3 paraphrase (single-word table pair).
 
-    A pair matchable by both modules is exact only (the jar assigns each
-    match to the earliest module that finds it).
+    A pair matchable by several modules gets the earliest one (the jar
+    assigns each match to the first module that finds it).
     """
+    data = _active_data()
     ref_stems = [stem(w) for w in ref]
+    empty: frozenset = frozenset()
     out: List[List[Tuple[int, int]]] = []
     for i, hw in enumerate(hyp):
         hs = stem(hw)
+        h_syn = data.synsets.get(hw, empty) if data.synsets else empty
         row = []
         for j, rw in enumerate(ref):
             if hw == rw:
                 row.append((j, 0))
             elif hs == ref_stems[j]:
                 row.append((j, 1))
+            elif h_syn and h_syn & data.synsets.get(rw, empty):
+                row.append((j, 2))
+            elif (data.paraphrases
+                  and frozenset((hw, rw)) in data.paraphrases):
+                row.append((j, 3))
         # Greedy-first ordering: closest ref position first so the first
         # DFS leaf reproduces (at least) the monotone greedy alignment.
         row.sort(key=lambda jt: (abs(jt[0] - i), jt[0]))

