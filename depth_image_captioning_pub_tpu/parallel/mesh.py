@@ -9,9 +9,12 @@ consumes sharded batches and produces replicated parameter updates — the
 idiomatic replacement for the NCCL all-reduce the reference never had.
 
 The models here are small (<=123M params frozen DPT; trainable decoders are
-<10M), so TP/PP/EP would only add latency; the scaling dimension that exists
-in this workload is the batch. Multi-host (DCN) extends the same mesh via
-``jax.distributed.initialize`` — the mesh helpers below are agnostic to it.
+<10M), so TP/PP/EP would only add latency at this scale; the scaling
+dimension that exists in this workload is the batch. For deployments that
+do outgrow one chip's HBM, parallel/tp.py layers an optional 2-D
+(data, model) mesh with Megatron-style GSPMD shardings on top of the same
+step functions. Multi-host (DCN) extends either mesh via
+``jax.distributed.initialize`` — the helpers below are agnostic to it.
 """
 
 from __future__ import annotations
