@@ -65,9 +65,15 @@ def bench_tpu() -> float:
               for _ in range(n_stage)]
     key = jax.random.PRNGKey(0)
 
-    # warmup: compile + absorb the one-time D2H path warmup
-    out = fn(frozen, params, stats, staged[0], key)
-    np.asarray(out)
+    # warmup: compile + absorb the one-time D2H path warmup. Run every
+    # staged buffer once: device_put is async and block_until_ready does
+    # not block on this backend, so consuming each buffer (and fetching
+    # the result) is the only way to force its H2D transfer to finish
+    # BEFORE the timed window — at batch 500 the four buffers are 1.2 GB,
+    # ~40 s through the rig's ~30 MB/s tunnel, and an unfinished transfer
+    # stalls the timed loop (measured: 380 caps/s instead of ~3.9k).
+    for s in staged:
+        np.asarray(fn(frozen, params, stats, s, key))
 
     n_batches = N_IMAGES // BATCH
     t0 = time.perf_counter()
@@ -107,7 +113,8 @@ def bench_depth_tpu(n_images: int = 512, batch: int = 64) -> float:
     staged = [jax.device_put(rng.random((batch, *HW, 3), dtype=np.float32))
               for _ in range(n_stage)]
     key = jax.random.PRNGKey(0)
-    np.asarray(fn(frozen, params, stats, staged[0], key))  # compile+warm
+    for s in staged:  # compile + force every staged H2D (see bench_tpu)
+        np.asarray(fn(frozen, params, stats, s, key))
 
     n_batches = n_images // batch
     t0 = time.perf_counter()

@@ -55,6 +55,15 @@ TOKEN_PAD_MULTIPLE = 8
 # throughput-over-parity deployments. A/B numbers live in STATUS.md.
 GELU_APPROXIMATE = False
 
+# Optional sequence parallelism: a jax.sharding.NamedSharding for the
+# [B, N, C] token activations (e.g. NamedSharding(mesh, P("data", "model",
+# None))). When set, every ViTBlock boundary constrains its output to it,
+# so GSPMD partitions the LN/MLP segments over the token axis and inserts
+# the all-gather the attention needs — the canonical sp split for a ViT.
+# None (default) leaves placement to propagation from the inputs. The
+# global math is unchanged either way (tests/test_tensor_parallel.py).
+TOKEN_SHARDING = None
+
 
 # ---------------------------------------------------------------------------
 # Exact align_corners=True bilinear resize as separable matmuls.
@@ -397,10 +406,15 @@ class DPTDepthModel(nn.Module):
             tokens = jnp.pad(tokens, ((0, 0), (0, n_pad), (0, 0)))
         n_valid = n_tok if n_pad else None
         tap3 = tap4 = None
+        if TOKEN_SHARDING is not None:
+            tokens = jax.lax.with_sharding_constraint(tokens, TOKEN_SHARDING)
         for i in range(self.vit_blocks):
             tokens = ViTBlock(dim=self.vit_dim, heads=self.vit_heads,
                               dtype=self.dtype, name=f"block{i}")(
                                   tokens, n_valid=n_valid)
+            if TOKEN_SHARDING is not None:
+                tokens = jax.lax.with_sharding_constraint(tokens,
+                                                          TOKEN_SHARDING)
             if i == self.hooks[0]:
                 tap3 = tokens[:, :n_tok]
             if i == self.hooks[1]:

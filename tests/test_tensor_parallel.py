@@ -158,3 +158,34 @@ def test_tp_dpt_forward_matches_replicated(rng):
     depth_tp = fn(tp_vars, dev_imgs)
     np.testing.assert_allclose(np.asarray(depth_single),
                                np.asarray(depth_tp), atol=1e-4)
+
+
+def test_sp_token_sharding_matches_replicated(rng):
+    """Sequence parallelism: constraining the ViT token axis to the model
+    mesh axis (dpt.TOKEN_SHARDING) — GSPMD partitions LN/MLP token-wise and
+    all-gathers for attention — must not change the depth output."""
+    from jax.sharding import NamedSharding
+    from depth_image_captioning_pub_tpu.models import dpt
+    from depth_image_captioning_pub_tpu.models.dpt import (
+        DPTDepthEstimator, DPTDepthModel)
+
+    est = DPTDepthEstimator(dtype=jnp.float32)
+    est.model = DPTDepthModel(vit_blocks=2, hooks=(0, 1),
+                              resnet_layers=(1, 1, 1), vit_dim=64,
+                              vit_heads=4, features=32, dtype=jnp.float32)
+    est.image_size = 64
+    variables = est.init(jax.random.PRNGKey(2), tiny=True)
+    imgs = rng.random((8, 64, 64, 3), dtype=np.float32)
+    depth_single = jax.jit(est.depth_fn())(variables, jnp.asarray(imgs))
+
+    mesh = make_mesh_2d(4, 2)
+    dpt.TOKEN_SHARDING = NamedSharding(mesh, P("data", "model", None))
+    try:
+        sp_fn = jax.jit(est.depth_fn())
+        tp_vars = shard_tree(mesh, variables)
+        dev_imgs = shard_batch_2d(mesh, {"images": imgs})["images"]
+        depth_sp = sp_fn(tp_vars, dev_imgs)
+    finally:
+        dpt.TOKEN_SHARDING = None
+    np.testing.assert_allclose(np.asarray(depth_single),
+                               np.asarray(depth_sp), atol=1e-4)
