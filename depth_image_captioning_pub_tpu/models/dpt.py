@@ -64,6 +64,13 @@ GELU_APPROXIMATE = False
 # global math is unchanged either way (tests/test_tensor_parallel.py).
 TOKEN_SHARDING = None
 
+# Perf-ablation knob for in-pipeline component timing ONLY (never set in
+# production paths): "head_tail" truncates the head after the x2 upsample,
+# "head_all" skips the whole monocular head. Outputs are garbage; the knob
+# exists so A/B deltas of the real pipeline isolate each segment's cost
+# (STATUS.md ablation tables). Must be set before model construction.
+ABLATE = ""
+
 
 # ---------------------------------------------------------------------------
 # Exact align_corners=True bilinear resize as separable matmuls.
@@ -456,9 +463,13 @@ class DPTDepthModel(nn.Module):
                                    name="refinenet1")(path2, rn[0])
 
         # --- monocular head (dpt_depth.py:91-99) ----------------------------
+        if ABLATE == "head_all":       # perf-ablation stand-in, see ABLATE
+            return path1[..., 0]
         y = nn.Conv(self.features // 2, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=jnp.float32, name="head_conv1")(path1)
         y = resize_align_corners(y, (y.shape[1] * 2, y.shape[2] * 2))
+        if ABLATE == "head_tail":      # perf-ablation stand-in, see ABLATE
+            return y[..., 0]
         y = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=jnp.float32, name="head_conv2")(y)
         y = nn.relu(y)
