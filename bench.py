@@ -37,6 +37,8 @@ N_IMAGES = 4000       # np_val_index.npy subset size
 BATCH = 500   # v5e sweep (r3): 250->3.6-3.7k, 500->3.89k, 1000->3.6k caps/s
 MAX_LEN = 30
 HW = (224, 224)
+TRAIN_BATCH = 256        # see tools/bench_train.py sweep in STATUS.md
+TRAIN_DEPTH_BATCH = 128
 
 
 def bench_tpu() -> float:
@@ -190,6 +192,22 @@ def bench_e2e_tpu(n_images: int = 4000, batch: int = 250):
     return n_images / dt, host_rate
 
 
+def bench_train_tpu(kind: str = "base-soft", batch: int = 256,
+                    steps: int = 20) -> float:
+    """Training-step throughput (images/s) of the exact jitted program
+    ``engine/train.py`` runs per batch (normalize + frozen bf16 backbone
+    under stop_gradient + teacher-forced decoder scan fwd/bwd + AdamW with
+    donated state). depth-soft measures the steady-state (cached-depth)
+    shape, matching reference epochs >= 1 (depth_train.py:196-202)."""
+    import importlib.util
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "bench_train.py")
+    spec = importlib.util.spec_from_file_location("bench_train", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.bench_kind(kind, batch, steps)
+
+
 def bench_torch_cpu(sample: int = 8, repeats: int = 3) -> float:
     """Reference-shaped torch CPU pipeline: median of `repeats` timed runs
     over `sample` images (round-1 used one 4-image run; the median over
@@ -302,6 +320,12 @@ def main():
     except Exception as e:
         print(f"e2e bench failed: {e}", file=sys.stderr)
         e2e = host_rate = None
+    try:
+        train = bench_train_tpu("base-soft", TRAIN_BATCH)
+        train_depth = bench_train_tpu("depth-soft", TRAIN_DEPTH_BATCH)
+    except Exception as e:
+        print(f"train bench failed: {e}", file=sys.stderr)
+        train = train_depth = None
     result = {
         "metric": ("captions/sec/chip, COCO-val-4000-sized greedy decode "
                    "(ResNet-152 + soft-attention LSTM, 30 steps, batch "
@@ -318,6 +342,11 @@ def main():
         "e2e_captions_per_sec": round(e2e, 2) if e2e else None,
         "e2e_host_pipeline_imgs_per_sec":
             round(host_rate, 2) if host_rate else None,
+        # Jitted train-step throughput (bench_train_tpu): base-soft, and
+        # depth-soft in its steady-state cached-depth shape.
+        "train_images_per_sec": round(train, 2) if train else None,
+        "depth_train_images_per_sec":
+            round(train_depth, 2) if train_depth else None,
     }
     print(json.dumps(result))
 

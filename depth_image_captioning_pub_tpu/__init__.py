@@ -29,6 +29,19 @@ Subpackages
 ``metrics``   self-contained BLEU / METEOR / ROUGE-L / CIDEr scorers
               (pycocoevalcap-compatible output scale).
 ``utils``     orbax checkpointing, torch-checkpoint bridge, CSV/JSONL logs.
+``pipeline``  CaptionPipeline — one-call batched inference (paths/arrays in,
+              caption strings out) over the jitted eval hot path.
+``serve``     micro-batching HTTP caption server on top of the pipeline.
+``native``    fastimage.cpp — threaded libjpeg batch decoder (C ABI/ctypes).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level convenience export: keep `import
+    depth_image_captioning_pub_tpu` free of jax/flax import cost."""
+    if name == "CaptionPipeline":
+        from depth_image_captioning_pub_tpu.pipeline import CaptionPipeline
+        return CaptionPipeline
+    raise AttributeError(name)

@@ -1,4 +1,4 @@
-"""ctypes binding for the native batch image loader (native/fastimage.cpp).
+"""ctypes binding for the native batch image loader (depth_image_captioning_pub_tpu/native/fastimage.cpp).
 
 Builds the shared library on first use with g++ (no pybind11 in this
 environment; the C ABI + ctypes keeps the binding dependency-free) and
@@ -16,10 +16,27 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "fastimage.cpp")
-_LIB = os.path.join(_REPO_ROOT, "native", "libfastimage.so")
+# The C++ source ships as package data (pyproject package-data) so a pip
+# install can build it too; the .so lands next to the source when that
+# directory is writable (checkout case), else in a per-user cache dir
+# (read-only site-packages case). $DCAP_FASTIMAGE_LIB overrides.
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "fastimage.cpp")
+
+
+def _lib_path() -> str:
+    if env := os.environ.get("DCAP_FASTIMAGE_LIB"):
+        return env
+    if os.access(_NATIVE_DIR, os.W_OK):
+        return os.path.join(_NATIVE_DIR, "libfastimage.so")
+    cache = os.path.join(os.path.expanduser("~"), ".cache",
+                         "depth_image_captioning_pub_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libfastimage.so")
+
+
+_LIB = _lib_path()
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None

@@ -1,0 +1,160 @@
+"""One-call inference API: image paths/arrays in, caption strings out.
+
+The reference has no inference surface besides its eval scripts — captioning
+a new image means editing ``Base_sample``'s globbed directories (reference:
+base_evaluation.py:171-336). A framework intended for serving needs a
+programmatic entry point; this wraps the existing jitted eval hot path
+(engine/evaluate.make_caption_fn: normalize -> frozen encoder -> optional
+DPT + depth encoder -> whole-sequence greedy/beam decode on device) behind
+a stable-batch-shape, auto-padding caller:
+
+    from depth_image_captioning_pub_tpu.pipeline import CaptionPipeline
+
+    pipe = CaptionPipeline.from_experiment("base-soft")   # exp_result/ ckpts
+    pipe("dog.jpg")                      # -> "a dog runs on the beach"
+    pipe(["a.jpg", "b.jpg", arr_hw3])    # -> list of captions
+
+Every call reuses ONE compiled program (inputs are padded to ``batch_size``
+so jit never sees a second shape), and JPEG paths go through the native
+batched decoder (data/native_loader.py) with PIL fallback.
+"""
+
+from __future__ import annotations
+
+
+from typing import Dict, List, Sequence, Union
+
+import numpy as np
+
+ImageLike = Union[str, np.ndarray]
+
+
+class CaptionPipeline:
+    """Batched captioning over a loaded model configuration.
+
+    Parameters mirror what the eval engine needs: the ``Captioner`` bundle,
+    its (trainable, frozen, batch_stats) variable split, and the vocab maps.
+    ``frozen`` must contain ``"dpt"`` variables for depth kinds (use
+    ``from_experiment`` / ``cli.make_depth_fn`` to assemble them).
+    """
+
+    def __init__(self, cap, params, frozen, batch_stats,
+                 word_to_id: Dict[str, int], id_to_word: Dict[int, str], *,
+                 depth_fn=None, max_length: int = 30, beam_size: int = 1,
+                 length_penalty: float = 0.0, batch_size: int = 64,
+                 image_hw=(224, 224), use_pallas: bool = False):
+        import jax
+        from depth_image_captioning_pub_tpu.data.tokenizer import SPECIAL
+        from depth_image_captioning_pub_tpu.engine.evaluate import (
+            make_caption_fn)
+
+        if cap.spec.uses_depth and depth_fn is None:
+            raise ValueError(f"{cap.spec.kind} needs depth_fn")
+        self.cap = cap
+        self.params = params
+        self.frozen = frozen
+        self.batch_stats = batch_stats
+        self.word_to_id = word_to_id
+        self.id_to_word = id_to_word
+        self.batch_size = int(batch_size)
+        self.image_hw = tuple(image_hw)
+        self._rng = jax.random.PRNGKey(0)
+        self._fn = make_caption_fn(
+            cap, start_id=word_to_id[SPECIAL.start], max_length=max_length,
+            depth_fn=depth_fn, beam_size=beam_size,
+            end_id=word_to_id.get(SPECIAL.end),
+            length_penalty=length_penalty, use_pallas=use_pallas)
+
+    # ---- loading ----------------------------------------------------------
+    @classmethod
+    def from_experiment(cls, kind: str, use_data: str = "coco",
+                        cfg=None, set_idx: int = 1, **kwargs
+                        ) -> "CaptionPipeline":
+        """Load the checkpoint set the eval CLIs would (exp_result/ layout,
+        reference filename tables config.py:121-179; both our msgpack saves
+        and bridged reference ``.pth`` files work). ``set_idx`` selects among
+        the 3 experiment repeats (1-based, like the reference's checkpoint
+        tables)."""
+        from depth_image_captioning_pub_tpu import cli
+        from depth_image_captioning_pub_tpu.config import ConfigEval
+        from depth_image_captioning_pub_tpu.data.vocab import load_vocab
+        from depth_image_captioning_pub_tpu.models.captioner import (
+            build_captioner)
+
+        cfg = cfg or ConfigEval()
+        base, atten = (kind.split("-") + ["soft"])[:2]
+        depth = base == "depth"
+        use_ori = use_data == "original"
+        w2i_p = cfg.ori_word_to_id_file if use_ori else cfg.word_to_id_file
+        word_to_id, id_to_word = load_vocab(w2i_p)
+        cap = build_captioner(kind, len(word_to_id), cfg,
+                              resnet_layers=cli.resnet_layers_from_env())
+        if kind == "nic":
+            save_dir, tables = cfg.save_directory_nic, cfg.nic_parameter_files
+        else:
+            save_dir, tables = cli.eval_tables(cfg, atten, use_ori, depth)
+        frozen_enc, params, stats = cli.load_eval_components(
+            save_dir, tables[set_idx], cap)
+        frozen = {"encoder": frozen_enc}
+        depth_fn = None
+        if cap.spec.uses_depth:
+            depth_fn, dpt_vars = cli.make_depth_fn(cfg)
+            frozen["dpt"] = dpt_vars
+        return cls(cap, params, frozen, stats, word_to_id, id_to_word,
+                   depth_fn=depth_fn, max_length=cfg.max_length, **kwargs)
+
+    # ---- inference --------------------------------------------------------
+    def _to_arrays(self, images: Sequence[ImageLike]) -> np.ndarray:
+        from depth_image_captioning_pub_tpu.data.native_loader import (
+            decode_batch)
+        h, w = self.image_hw
+        out = np.zeros((len(images), h, w, 3), np.uint8)
+        paths = [(i, im) for i, im in enumerate(images) if isinstance(im, str)]
+        if paths:
+            decoded = decode_batch([p for _, p in paths], self.image_hw)
+            for (i, _), arr in zip(paths, decoded):
+                out[i] = arr
+        for i, im in enumerate(images):
+            if isinstance(im, str):
+                continue
+            arr = np.asarray(im)
+            if arr.shape[:2] != (h, w):
+                from PIL import Image
+                if arr.dtype != np.uint8:
+                    arr = np.clip(arr * 255.0 if arr.max() <= 1.0 else arr,
+                                  0, 255).astype(np.uint8)
+                arr = np.asarray(Image.fromarray(arr).resize(
+                    (w, h), Image.BILINEAR))
+            if arr.dtype != np.uint8:
+                arr = np.clip(arr * 255.0 if arr.max() <= 1.0 else arr,
+                              0, 255).astype(np.uint8)
+            out[i] = arr
+        return out
+
+    def caption_tokens(self, arrays: np.ndarray) -> np.ndarray:
+        """[N,H,W,3] uint8 -> [N, max_length] int32 token IDs; pads each
+        chunk to ``batch_size`` so every call hits the same executable."""
+        import jax
+        n = arrays.shape[0]
+        rows = []
+        for lo in range(0, n, self.batch_size):
+            chunk = arrays[lo:lo + self.batch_size]
+            valid = chunk.shape[0]
+            if valid < self.batch_size:
+                reps = np.zeros((self.batch_size - valid,), np.int64)
+                chunk = np.concatenate([chunk, chunk[reps]], axis=0)
+            toks = self._fn(self.frozen, self.params, self.batch_stats,
+                            jax.device_put(chunk), self._rng)
+            rows.append(np.asarray(toks)[:valid])
+        return np.concatenate(rows, axis=0)
+
+    def __call__(self, images: Union[ImageLike, Sequence[ImageLike]]
+                 ) -> Union[str, List[str]]:
+        from depth_image_captioning_pub_tpu.data.tokenizer import (
+            ids_to_caption)
+        single = isinstance(images, (str, np.ndarray)) and (
+            not isinstance(images, np.ndarray) or images.ndim == 3)
+        batch: List[ImageLike] = [images] if single else list(images)
+        toks = self.caption_tokens(self._to_arrays(batch))
+        caps = [ids_to_caption(row, self.id_to_word) for row in toks]
+        return caps[0] if single else caps

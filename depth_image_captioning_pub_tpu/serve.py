@@ -1,0 +1,199 @@
+"""Minimal production-style caption server over ``CaptionPipeline``.
+
+The reference has no serving story at all; this closes the gap with a
+stdlib-only (http.server) HTTP endpoint around the jitted TPU hot path.
+Design points that matter for a TPU service:
+
+* ONE compiled program serves every request: the pipeline pads each chunk
+  to its fixed batch size, so jit never retraces under load.
+* Requests are *micro-batched*: concurrent POSTs landing within
+  ``batch_window_ms`` are decoded in one device call instead of N (the
+  device program is whole-batch-parallel; single-image calls waste the
+  chip). A dedicated worker thread owns the device, so handler threads
+  never contend for the TPU.
+* Images arrive as raw JPEG/PNG bytes (``POST /caption``) and are decoded
+  on the host exactly like the eval pipeline decodes files.
+
+Run:  python -m depth_image_captioning_pub_tpu.serve --kind base-soft \
+          [--port 8000] [--beam 5] [--batch-size 16]
+Then: curl -s --data-binary @dog.jpg localhost:8000/caption
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+class _Job:
+    __slots__ = ("array", "event", "caption", "error")
+
+    def __init__(self, array: np.ndarray):
+        self.array = array
+        self.event = threading.Event()
+        self.caption: Optional[str] = None
+        self.error: Optional[str] = None
+
+
+class CaptionService:
+    """Micro-batching worker around a ``CaptionPipeline``.
+
+    ``submit`` blocks until the worker has captioned the image; the worker
+    drains the queue up to ``pipeline.batch_size`` jobs at a time, waiting
+    at most ``batch_window_ms`` for stragglers once the first job arrives.
+    """
+
+    def __init__(self, pipeline, batch_window_ms: float = 2.0):
+        self.pipeline = pipeline
+        self.batch_window = batch_window_ms / 1000.0
+        self.queue: "queue.Queue[_Job]" = queue.Queue()
+        self._stop = threading.Event()
+        self.batches_run = 0
+        self.images_served = 0
+        self.worker = threading.Thread(target=self._run, daemon=True)
+        self.worker.start()
+
+    def _drain(self) -> List[_Job]:
+        import time
+        jobs = [self.queue.get()]
+        t_end = time.monotonic() + self.batch_window
+        cap = self.pipeline.batch_size
+        while len(jobs) < cap:
+            remaining = t_end - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                jobs.append(self.queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return jobs
+
+    def _run(self):
+        from depth_image_captioning_pub_tpu.data.tokenizer import (
+            ids_to_caption)
+        while not self._stop.is_set():
+            try:
+                jobs = self._drain()
+            except Exception:
+                continue
+            if any(j is _SENTINEL for j in jobs):
+                jobs = [j for j in jobs if j is not _SENTINEL]
+                if not jobs:
+                    return
+            try:
+                arrays = np.stack([j.array for j in jobs])
+                toks = self.pipeline.caption_tokens(arrays)
+                for j, row in zip(jobs, toks):
+                    j.caption = ids_to_caption(row, self.pipeline.id_to_word)
+            except Exception as e:  # pragma: no cover - device failure path
+                for j in jobs:
+                    j.error = str(e)
+            self.batches_run += 1
+            self.images_served += len(jobs)
+            for j in jobs:
+                j.event.set()
+
+    def submit(self, array: np.ndarray, timeout: float = 60.0) -> str:
+        job = _Job(array)
+        self.queue.put(job)
+        if not job.event.wait(timeout):
+            raise TimeoutError("caption worker timed out")
+        if job.error:
+            raise RuntimeError(job.error)
+        return job.caption
+
+    def stop(self):
+        self._stop.set()
+        self.queue.put(_SENTINEL)
+        self.worker.join(timeout=5)
+
+
+_SENTINEL = _Job(np.zeros((1, 1, 3), np.uint8))
+
+
+def _decode_bytes(data: bytes, hw: Tuple[int, int]) -> np.ndarray:
+    from PIL import Image
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    h, w = hw
+    return np.asarray(img.resize((w, h), Image.BILINEAR), dtype=np.uint8)
+
+
+def make_handler(service: CaptionService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet by default
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True,
+                                  "images_served": service.images_served,
+                                  "batches_run": service.batches_run})
+            else:
+                self._reply(404, {"error": "GET /healthz or POST /caption"})
+
+        def do_POST(self):
+            if self.path != "/caption":
+                self._reply(404, {"error": "POST /caption"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                arr = _decode_bytes(self.rfile.read(n),
+                                    service.pipeline.image_hw)
+                caption = service.submit(arr)
+                self._reply(200, {"caption": caption})
+            except Exception as e:
+                self._reply(400, {"error": str(e)})
+
+    return Handler
+
+
+def serve(pipeline, host: str = "127.0.0.1", port: int = 8000,
+          batch_window_ms: float = 2.0) -> ThreadingHTTPServer:
+    """Start (and return) the server; caller runs serve_forever()."""
+    service = CaptionService(pipeline, batch_window_ms)
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    httpd.service = service
+    return httpd
+
+
+def main(argv=None) -> int:
+    from depth_image_captioning_pub_tpu.pipeline import CaptionPipeline
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--kind", default="base-soft")
+    p.add_argument("--use-data", default="coco")
+    p.add_argument("--set-idx", type=int, default=1)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--beam", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--batch-window-ms", type=float, default=2.0)
+    args = p.parse_args(argv)
+    pipe = CaptionPipeline.from_experiment(
+        args.kind, args.use_data, set_idx=args.set_idx,
+        beam_size=args.beam, batch_size=args.batch_size)
+    httpd = serve(pipe, args.host, args.port, args.batch_window_ms)
+    print(f"serving {args.kind} on http://{args.host}:{args.port}")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        httpd.service.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,85 @@
+"""CaptionPipeline: the programmatic one-call inference API.
+
+Covers direct construction (arrays + file paths, padding to the fixed batch
+shape, single-vs-list returns) and ``from_experiment`` loading of the
+checkpoints the train CLI writes (reference exp_result/ layout)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.test_cli import coco_tree  # noqa: F401  (module-scoped fixture)
+
+
+@pytest.fixture(autouse=True)
+def tiny_env(monkeypatch, coco_tree):  # noqa: F811
+    monkeypatch.setenv("DCAP_RESNET_LAYERS", "1,1,1,1")
+    monkeypatch.setenv("DCAP_TINY_DPT", "1")
+    monkeypatch.chdir(coco_tree)
+
+
+def _tiny_pipeline(batch_size=4, **kw):
+    import jax
+    from depth_image_captioning_pub_tpu.config import ConfigEval
+    from depth_image_captioning_pub_tpu.models.captioner import build_captioner
+    from depth_image_captioning_pub_tpu.pipeline import CaptionPipeline
+
+    w2i = {f"w{i}": i for i in range(16)}
+    w2i.update({"<start>": 16, "<end>": 17, "<unk>": 18, "<null>": 19})
+    i2w = {i: w for w, i in w2i.items()}
+    cap = build_captioner("base-soft", len(w2i), ConfigEval(),
+                          resnet_layers=(1, 1, 1, 1))
+    params, frozen, stats = cap.init(jax.random.PRNGKey(0))
+    return CaptionPipeline(cap, params, {"encoder": frozen["encoder"]},
+                           stats, w2i, i2w, batch_size=batch_size, **kw)
+
+
+def test_arrays_padding_and_single(coco_tree):  # noqa: F811
+    pipe = _tiny_pipeline(batch_size=4)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (5, 224, 224, 3), dtype=np.uint8)
+
+    caps = pipe(list(imgs))           # 5 images through a batch-4 program
+    assert len(caps) == 5
+    assert all(isinstance(c, str) for c in caps)
+
+    # padding must not change results: same image alone == in the batch
+    assert pipe(imgs[0]) == caps[0]
+    # non-224 arrays and float arrays are resized/converted
+    small = rng.random((100, 120, 3)).astype(np.float32)
+    assert isinstance(pipe(small), str)
+
+
+def test_path_and_array_mix(coco_tree):  # noqa: F811
+    pipe = _tiny_pipeline(batch_size=2)
+    val = coco_tree / "dataset" / "coco2014" / "val2014"
+    path = str(next(val.iterdir()))
+    arr = np.zeros((224, 224, 3), np.uint8)
+    caps = pipe([path, arr, path])
+    assert len(caps) == 3
+    assert caps[0] == caps[2]  # same file -> same caption
+
+
+def test_from_experiment_roundtrip(coco_tree):  # noqa: F811
+    import base_main
+    from depth_image_captioning_pub_tpu.pipeline import CaptionPipeline
+
+    d = coco_tree / "exp_result" / "base_soft"
+    if not (d / "base_soft_decoder_best_coco0.pth.msgpack").exists():
+        assert base_main.main(["soft", "coco", "--epochs", "1",
+                               "--exp-time", "1"]) == 0
+    pipe = CaptionPipeline.from_experiment("base-soft", batch_size=2)
+    val = coco_tree / "dataset" / "coco2014" / "val2014"
+    paths = sorted(str(p) for p in val.iterdir())[:3]
+    caps = pipe(paths)
+    assert len(caps) == 3 and all(isinstance(c, str) for c in caps)
+
+    # beam pipeline loads and runs through the same entry
+    pipe_beam = CaptionPipeline.from_experiment("base-soft", batch_size=2,
+                                                beam_size=2)
+    caps_beam = pipe_beam(paths)
+    assert len(caps_beam) == 3

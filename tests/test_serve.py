@@ -1,0 +1,93 @@
+"""HTTP caption server: micro-batched serving over CaptionPipeline."""
+
+import io
+import json
+import os
+import sys
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.test_cli import coco_tree  # noqa: F401
+from tests.test_pipeline import _tiny_pipeline, tiny_env  # noqa: F401
+
+
+def _jpeg_bytes(arr: np.ndarray) -> bytes:
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG")
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def server(coco_tree):  # noqa: F811
+    from depth_image_captioning_pub_tpu.serve import serve
+    pipe = _tiny_pipeline(batch_size=4)
+    # generous window: the 1-core CI rig serializes the posting threads'
+    # host-side JPEG decodes, which must all land inside one batch window
+    httpd = serve(pipe, host="127.0.0.1", port=0, batch_window_ms=250.0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd, pipe
+    httpd.shutdown()
+    httpd.service.stop()
+
+
+def _post(port: int, payload: bytes) -> dict:
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/caption",
+                                 data=payload, method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def test_caption_endpoint_and_microbatching(server):
+    httpd, pipe = server
+    port = httpd.server_address[1]
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (3, 224, 224, 3), dtype=np.uint8)
+
+    # concurrent posts land in one micro-batch (window 250ms, batch cap 4)
+    results = [None] * 3
+    def worker(i):
+        results[i] = _post(port, _jpeg_bytes(imgs[i]))
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all("caption" in r for r in results)
+
+    # server captions == pipeline captions on the SAME decoded bytes
+    # (JPEG is lossy, so compare against the round-tripped arrays)
+    from PIL import Image
+    arrays = [np.asarray(Image.open(io.BytesIO(_jpeg_bytes(im)))
+                         .convert("RGB")) for im in imgs]
+    expect = pipe(arrays)
+    assert [r["caption"] for r in results] == expect
+
+    svc = httpd.service
+    assert svc.images_served >= 3
+    assert svc.batches_run <= 2  # micro-batching actually batched
+
+    # health endpoint
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+        health = json.loads(r.read())
+    assert health["ok"] and health["images_served"] >= 3
+
+
+def test_bad_requests(server):
+    httpd, _ = server
+    port = httpd.server_address[1]
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/caption",
+                                 data=b"not an image", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e2:
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=30)
+    assert e2.value.code == 404

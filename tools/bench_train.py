@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Training-step throughput sweep on the real chip.
+
+Measures images/sec of the jitted train step (the exact program
+``engine/train.py`` runs per batch: on-device uint8->float normalize,
+frozen bf16 ResNet-152 forward under stop_gradient, decoder teacher-forced
+scan fwd+bwd, AdamW update with donated state) for the three training
+families. depth-soft is measured in its steady-state (epochs >= 1) shape:
+depth maps arrive as inputs from the index-keyed cache, so DPT is NOT in
+the step (reference: depth_train.py:196-202 rebuilds from cache the same
+way).
+
+Staged inputs + fetch-clocked like bench.py (block_until_ready does not
+block on this backend; the accumulated on-device loss fetch is the clock).
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_train.py
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+import jax.numpy as jnp
+
+from depth_image_captioning_pub_tpu.config import ConfigTrain
+from depth_image_captioning_pub_tpu.engine.steps import (
+    TrainState, make_attention_train_step, make_nic_train_step,
+    make_optimizer)
+from depth_image_captioning_pub_tpu.models.captioner import build_captioner
+
+VOCAB = 9956
+HW = (224, 224)
+
+
+def make_batch(batch: int, uses_depth: bool, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    caps = rng.integers(4, VOCAB - 4, (batch, 30), dtype=np.int64)
+    caps = caps.astype(np.int32)
+    lengths = rng.integers(8, 22, (batch,)).astype(np.int32)
+    arrays = {
+        "images": rng.integers(0, 255, (batch, *HW, 3), dtype=np.uint8),
+        "captions": caps,
+        "lengths": lengths,
+        "pad_mask": np.ones((batch,), bool),
+    }
+    if uses_depth:
+        arrays["depth"] = rng.random((batch, *HW, 1), dtype=np.float32)
+    return {k: jax.device_put(v) for k, v in arrays.items()}
+
+
+def bench_kind(kind: str, batch: int, steps: int = 30) -> float:
+    from depth_image_captioning_pub_tpu.cli import resnet_layers_from_env
+    cfg = ConfigTrain()
+    cap = build_captioner(kind, VOCAB, cfg,
+                          resnet_layers=resnet_layers_from_env())
+    params, frozen, stats = cap.init(jax.random.PRNGKey(0))
+    opt = make_optimizer(cfg.lr)
+    state = TrainState(params, opt.init(params), frozen, stats, jnp.int32(0))
+    if kind == "nic":
+        fn = make_nic_train_step(cap.encoder_apply(), cap.decoder_apply(),
+                                 opt)
+    else:
+        alpha_reg = cfg.alpha_reg if "soft" in kind else 0.0
+        fn = make_attention_train_step(
+            cap.encoder_apply(), cap.decoder_apply(), opt,
+            alpha_reg=alpha_reg,
+            depth_encoder_apply=cap.depth_encoder_apply())
+    dev_batch = make_batch(batch, cap.spec.uses_depth)
+    temp = jnp.float32(1.0)
+    key = jax.random.PRNGKey(0)
+
+    def one(state, i):
+        rng = jax.random.fold_in(key, i)
+        if kind == "nic":
+            return fn(state, dev_batch, rng)
+        return fn(state, dev_batch, rng, temp)
+
+    for i in range(3):  # compile + force the staged H2D before timing
+        state, metrics = one(state, i)
+        np.asarray(metrics["loss"])
+
+    loss_sum = None
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = one(state, 100 + i)
+        loss_sum = metrics["loss"] if loss_sum is None \
+            else loss_sum + metrics["loss"]
+    final = float(np.asarray(loss_sum))  # the only host sync = the clock
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final), final
+    return steps * batch / dt
+
+
+def main():
+    plan = [("base-soft", b) for b in (128, 256, 512)]
+    plan += [("depth-soft", b) for b in (64, 128, 256)]
+    plan += [("base-hard", 256), ("nic", 256)]
+    if len(sys.argv) > 1:  # e.g. "base-soft:256,nic:128"
+        plan = [(k, int(b)) for k, b in
+                (item.split(":") for item in sys.argv[1].split(","))]
+    for kind, batch in plan:
+        rate = bench_kind(kind, batch)
+        print(f"TRAIN {kind:<11s} batch {batch:<4d} {rate:9.1f} imgs/s",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
