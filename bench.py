@@ -37,8 +37,8 @@ N_IMAGES = 4000       # np_val_index.npy subset size
 BATCH = 500   # v5e sweep (r3): 250->3.6-3.7k, 500->3.89k, 1000->3.6k caps/s
 MAX_LEN = 30
 HW = (224, 224)
-TRAIN_BATCH = 256        # see tools/bench_train.py sweep in STATUS.md
-TRAIN_DEPTH_BATCH = 128
+TRAIN_BATCH = 512        # r3 sweep: 128->2325 256->2700 512->2895 imgs/s
+TRAIN_DEPTH_BATCH = 48   # r3 sweep: 32->1788 48->2190 64->2135 128->1810
 
 
 def bench_tpu() -> float:

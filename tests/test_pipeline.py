@@ -83,3 +83,30 @@ def test_from_experiment_roundtrip(coco_tree):  # noqa: F811
                                                 beam_size=2)
     caps_beam = pipe_beam(paths)
     assert len(caps_beam) == 3
+
+
+def test_depth_pipeline_direct(coco_tree):  # noqa: F811
+    """depth-soft through the pipeline: DPT -> depth CNN -> add-fusion."""
+    import jax
+    from depth_image_captioning_pub_tpu import cli
+    from depth_image_captioning_pub_tpu.config import ConfigEval
+    from depth_image_captioning_pub_tpu.models.captioner import build_captioner
+    from depth_image_captioning_pub_tpu.pipeline import CaptionPipeline
+
+    w2i = {f"w{i}": i for i in range(16)}
+    w2i.update({"<start>": 16, "<end>": 17, "<unk>": 18, "<null>": 19})
+    i2w = {i: w for w, i in w2i.items()}
+    cfg = ConfigEval()
+    cap = build_captioner("depth-soft", len(w2i), cfg,
+                          resnet_layers=(1, 1, 1, 1))
+    params, frozen, stats = cap.init(jax.random.PRNGKey(0))
+    depth_fn, dpt_vars = cli.make_depth_fn(cfg)   # tiny via $DCAP_TINY_DPT
+    pipe = CaptionPipeline(
+        cap, params, {"encoder": frozen["encoder"], "dpt": dpt_vars}, stats,
+        w2i, i2w, depth_fn=depth_fn, batch_size=2)
+    caps = pipe(np.zeros((3, 224, 224, 3), np.uint8))
+    assert len(caps) == 3 and all(isinstance(c, str) for c in caps)
+    # missing depth_fn for a depth kind must be a loud error
+    with pytest.raises(ValueError):
+        CaptionPipeline(cap, params, {"encoder": frozen["encoder"]}, stats,
+                        w2i, i2w)

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Serving benchmark: HTTP round-trip latency and micro-batched throughput
+of serve.py's caption endpoint on the real chip.
+
+Measures what a deployment cares about and the staged bench.py numbers
+can't show: single-request latency (p50/p99 over sequential posts, host
+JPEG decode + device decode in the loop) and sustained throughput under
+concurrent clients, where the worker thread coalesces requests into
+device batches (reported batches_run shows the effective batch factor).
+
+Random weights (latency/throughput are weight-independent); full
+ResNet-152 + soft-attention decoder unless $DCAP_RESNET_LAYERS shrinks it.
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_serve.py
+"""
+
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+VOCAB = 9956
+
+
+def make_pipeline(batch_size: int):
+    from depth_image_captioning_pub_tpu.cli import resnet_layers_from_env
+    from depth_image_captioning_pub_tpu.config import ConfigEval
+    from depth_image_captioning_pub_tpu.models.captioner import (
+        build_captioner)
+    from depth_image_captioning_pub_tpu.pipeline import CaptionPipeline
+
+    w2i = {f"w{i}": i for i in range(VOCAB - 4)}
+    w2i.update({"<start>": VOCAB - 4, "<end>": VOCAB - 3,
+                "<unk>": VOCAB - 2, "<null>": VOCAB - 1})
+    i2w = {i: w for w, i in w2i.items()}
+    cap = build_captioner("base-soft", VOCAB, ConfigEval(),
+                          resnet_layers=resnet_layers_from_env())
+    params, frozen, stats = cap.init(jax.random.PRNGKey(0))
+    return CaptionPipeline(cap, params, {"encoder": frozen["encoder"]},
+                           stats, w2i, i2w, batch_size=batch_size)
+
+
+def jpeg_payload(seed: int = 0) -> bytes:
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+    return buf.getvalue()
+
+
+def post(port: int, payload: bytes) -> dict:
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/caption",
+                                 data=payload, method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return json.loads(r.read())
+
+
+def main():
+    from depth_image_captioning_pub_tpu.serve import serve
+
+    batch_size = 16
+    pipe = make_pipeline(batch_size)
+    httpd = serve(pipe, port=0, batch_window_ms=3.0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    payload = jpeg_payload()
+
+    for _ in range(3):  # compile + warm the whole HTTP -> device path
+        post(port, payload)
+
+    lat = []
+    for _ in range(100):
+        t0 = time.perf_counter()
+        post(port, payload)
+        lat.append((time.perf_counter() - t0) * 1000)
+    lat.sort()
+    p50, p99 = lat[50], lat[98]
+
+    svc = httpd.service
+    b0, n0 = svc.batches_run, svc.images_served
+    n_clients, per_client = 16, 15
+    errs = []
+
+    def client(k):
+        try:
+            for _ in range(per_client):
+                post(port, payload)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(k,))
+               for k in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    assert not errs, errs[:1]
+    total = n_clients * per_client
+    eff_batch = (svc.images_served - n0) / max(svc.batches_run - b0, 1)
+    print(f"SERVE latency p50 {p50:.1f} ms  p99 {p99:.1f} ms (sequential)")
+    print(f"SERVE throughput {total / dt:.1f} caps/s with {n_clients} "
+          f"clients (effective device batch {eff_batch:.1f}/{batch_size})")
+    httpd.shutdown()
+    svc.stop()
+
+
+if __name__ == "__main__":
+    main()
