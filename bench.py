@@ -208,6 +208,22 @@ def bench_train_tpu(kind: str = "base-soft", batch: int = 256,
     return mod.bench_kind(kind, batch, steps)
 
 
+def bench_serve_tpu() -> dict:
+    """HTTP serving: single-request latency (p50 over sequential posts of a
+    480x640 JPEG; host decode + device decode in the loop) and sustained
+    concurrent-client throughput of serve.py's micro-batching endpoint,
+    with bucketed batch shapes (pipeline.batch_buckets). See
+    tools/bench_serve.py; numbers on this rig include the ~30 MB/s tunnel."""
+    import importlib.util
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "bench_serve.py")
+    spec = importlib.util.spec_from_file_location("bench_serve", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.measure(buckets=(1, 2, 4, 8, 16), seq_posts=50,
+                       n_clients=16, per_client=10)
+
+
 def bench_torch_cpu(sample: int = 8, repeats: int = 3) -> float:
     """Reference-shaped torch CPU pipeline: median of `repeats` timed runs
     over `sample` images (round-1 used one 4-image run; the median over
@@ -326,6 +342,11 @@ def main():
     except Exception as e:
         print(f"train bench failed: {e}", file=sys.stderr)
         train = train_depth = None
+    try:
+        srv = bench_serve_tpu()
+    except Exception as e:
+        print(f"serve bench failed: {e}", file=sys.stderr)
+        srv = None
     result = {
         "metric": ("captions/sec/chip, COCO-val-4000-sized greedy decode "
                    "(ResNet-152 + soft-attention LSTM, 30 steps, batch "
@@ -347,6 +368,11 @@ def main():
         "train_images_per_sec": round(train, 2) if train else None,
         "depth_train_images_per_sec":
             round(train_depth, 2) if train_depth else None,
+        # HTTP serving via serve.py (bucketed batches; includes host JPEG
+        # decode and, on this rig, the ~30 MB/s tunnel).
+        "serve_latency_p50_ms": round(srv["p50_ms"], 1) if srv else None,
+        "serve_caps_per_sec":
+            round(srv["caps_per_sec"], 1) if srv else None,
     }
     print(json.dumps(result))
 

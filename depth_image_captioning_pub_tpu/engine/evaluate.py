@@ -71,7 +71,7 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
                 tokens, _ = cap.decoder.apply(
                     {"params": params["decoder"]}, feats, end_id,
                     beam_size=beam_size, max_length=max_length,
-                    length_penalty=length_penalty,
+                    length_penalty=length_penalty, early_exit=True,
                     method=NICDecoder.beam_sample)
                 return tokens
             return sample_apply(params["decoder"], feats,
@@ -91,11 +91,14 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
         if beam_size > 1:
             # use_pallas routes the whole search through one VMEM-resident
             # kernel (ops/pallas/beam_seq.py; soft attention only)
+            # early_exit stops the search once every beam has emitted <end>
+            # (exact — ops/decode.beam_search); mirrors the greedy path's
+            # end_id-driven early exit below.
             tokens, _ = cap.decoder.apply(
                 {"params": params["decoder"]}, feats, start_id, end_id, dep,
                 beam_size=beam_size, max_length=max_length,
                 length_penalty=length_penalty, rng=rng,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, early_exit=not use_pallas,
                 method=AttentionDecoder.beam_sample)
             return tokens
         # end_id (when known) turns on early-exit greedy decode: the scan

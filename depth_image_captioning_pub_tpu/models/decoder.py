@@ -361,12 +361,15 @@ class AttentionDecoder(nn.Module):
                     beam_size: int = 5, max_length: int = 30,
                     length_penalty: float = 0.0,
                     rng: Optional[jax.Array] = None,
-                    use_pallas: bool = False
+                    use_pallas: bool = False,
+                    early_exit: bool = False
                     ) -> Tuple[jax.Array, jax.Array]:
         """Batched beam search, one lax.scan (ops/decode.beam_search).
 
         Returns (tokens [B, max_length], scores [B]). With beam_size=1 this
-        ranks identically to greedy decode.
+        ranks identically to greedy decode. ``early_exit`` stops once every
+        beam has emitted <end> — exact, see ops/decode.beam_search. The
+        Pallas path ignores it (the kernel early-exits in-kernel already).
 
         ``use_pallas`` (soft attention only) runs the ENTIRE search in one
         whole-sequence kernel with features/weights VMEM-resident
@@ -433,7 +436,8 @@ class AttentionDecoder(nn.Module):
         init = {"h": tiled["h"], "c": tiled["c"]}
         return beam_search(step_fn, init, batch, start_id, end_id,
                            beam_size=beam_size, max_length=max_length,
-                           length_penalty=length_penalty)
+                           length_penalty=length_penalty,
+                           early_exit=early_exit)
 
     def _beam_sample_pallas(self, features: jax.Array, start_id: int,
                             end_id: int,

@@ -101,7 +101,7 @@ class NICDecoder(nn.Module):
 
     def beam_sample(self, features: jax.Array, end_id: int, *,
                     beam_size: int = 5, max_length: int = 30,
-                    length_penalty: float = 0.0):
+                    length_penalty: float = 0.0, early_exit: bool = False):
         """Batched beam search (new capability; reference is greedy-only).
 
         The LSTM is primed by the image embedding at step 0 (nic.py:150-175),
@@ -128,4 +128,5 @@ class NICDecoder(nn.Module):
         return beam_search(step_fn, {"h": h0, "c": c0}, batch,
                            start_id=0, end_id=end_id, beam_size=beam_size,
                            max_length=max_length,
-                           length_penalty=length_penalty)
+                           length_penalty=length_penalty,
+                           early_exit=early_exit)

@@ -32,22 +32,56 @@ def _gather_beams(tree: Any, parent: jax.Array, batch: int,
 
 def beam_search(step_fn: Callable, init_state: Any, batch: int,
                 start_id: int, end_id: int, *, beam_size: int = 5,
-                max_length: int = 30,
-                length_penalty: float = 0.0) -> Tuple[jax.Array, jax.Array]:
+                max_length: int = 30, length_penalty: float = 0.0,
+                early_exit: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Returns (tokens [B, max_length] of the best beam, scores [B]).
 
     ``init_state`` leaves must already be tiled to [B*W, ...] (tile each
     per-image tensor ``beam_size`` times along dim 0). ``length_penalty``
     alpha applies GNMT-style normalization score/len^alpha at selection
     time; 0 reproduces pure log-prob ranking.
+
+    ``early_exit`` stops the search once every beam of every image has
+    emitted <end> (a ``lax.while_loop`` instead of the fixed scan). This is
+    EXACT, not approximate: a step where all beams are finished only offers
+    each beam its own <end> continuation at unchanged score, and
+    ``lax.top_k``'s descending order with ties broken by lower flat index
+    reproduces the already-sorted scores with an identity parent mapping —
+    so skipped steps change neither histories nor scores. With trained
+    models (captions average ~12 tokens) this skips over half of the
+    ``max_length`` steps; the fixed scan remains the default because XLA
+    can schedule it slightly better when sequences run full length.
     """
+    if early_exit:
+        return _beam_search_early_exit(
+            step_fn, init_state, batch, start_id, end_id,
+            beam_size=beam_size, max_length=max_length,
+            length_penalty=length_penalty)
+    carry0 = _beam_init(init_state, batch, start_id, end_id,
+                        beam_size, max_length)
+    step = _make_beam_step(step_fn, batch, beam_size, end_id)
+
+    def scan_step(carry, t):
+        return step(carry, t), None
+
+    (state, _, scores, history, finished), _ = jax.lax.scan(
+        scan_step, carry0, jnp.arange(max_length))
+    return _select_best(scores, history, end_id, length_penalty, max_length)
+
+
+def _beam_init(init_state: Any, batch: int, start_id: int, end_id: int,
+               beam_size: int, max_length: int):
     bw = batch * beam_size
     scores0 = jnp.full((batch, beam_size), NEG_INF, jnp.float32)
     scores0 = scores0.at[:, 0].set(0.0)  # only beam 0 live at step 0
     tokens0 = jnp.full((bw,), start_id, jnp.int32)
     history0 = jnp.full((batch, beam_size, max_length), end_id, jnp.int32)
     finished0 = jnp.zeros((batch, beam_size), bool)
+    return (init_state, tokens0, scores0, history0, finished0)
 
+
+def _make_beam_step(step_fn: Callable, batch: int, beam_size: int,
+                    end_id: int) -> Callable:
     def step(carry, t):
         state, prev, scores, history, finished = carry
         state, logprobs = step_fn(state, prev, t)        # [B*W, V]
@@ -66,12 +100,13 @@ def beam_search(step_fn: Callable, init_state: Any, batch: int,
         history = history.at[:, :, t].set(token)
         finished = jnp.take_along_axis(finished, parent, axis=1) \
             | (token == end_id)
-        return (state, token.reshape(-1), new_scores, history, finished), None
+        return (state, token.reshape(-1), new_scores, history, finished)
+    return step
 
-    carry0 = (init_state, tokens0, scores0, history0, finished0)
-    (state, _, scores, history, finished), _ = jax.lax.scan(
-        step, carry0, jnp.arange(max_length))
 
+def _select_best(scores: jax.Array, history: jax.Array, end_id: int,
+                 length_penalty: float, max_length: int
+                 ) -> Tuple[jax.Array, jax.Array]:
     if length_penalty > 0.0:
         lengths = jnp.minimum(
             jnp.argmax(history == end_id, axis=-1) + 1, max_length)
@@ -83,6 +118,29 @@ def beam_search(step_fn: Callable, init_state: Any, batch: int,
         history, best[:, None, None], axis=1)[:, 0]      # [B, max_length]
     best_scores = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]
     return tokens, best_scores
+
+
+def _beam_search_early_exit(step_fn: Callable, init_state: Any, batch: int,
+                            start_id: int, end_id: int, *, beam_size: int,
+                            max_length: int, length_penalty: float
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """The same search in a while_loop that stops when every beam is done."""
+    carry0 = _beam_init(init_state, batch, start_id, end_id,
+                        beam_size, max_length)
+    step = _make_beam_step(step_fn, batch, beam_size, end_id)
+
+    def cond(loop):
+        carry, t = loop
+        finished = carry[4]
+        return jnp.logical_and(t < max_length, ~jnp.all(finished))
+
+    def body(loop):
+        carry, t = loop
+        return step(carry, t), t + 1
+
+    (_, _, scores, history, _), _ = jax.lax.while_loop(
+        cond, body, (carry0, jnp.int32(0)))
+    return _select_best(scores, history, end_id, length_penalty, max_length)
 
 
 def tile_for_beams(tree: Any, beam_size: int) -> Any:

@@ -17,6 +17,13 @@ a stable-batch-shape, auto-padding caller:
 Every call reuses ONE compiled program (inputs are padded to ``batch_size``
 so jit never sees a second shape), and JPEG paths go through the native
 batched decoder (data/native_loader.py) with PIL fallback.
+
+``batch_buckets`` trades that single program for a small fixed set of them:
+a request is padded to the smallest bucket that fits instead of always the
+largest, which cuts both the device work and the host->device transfer for
+small requests (on a serving deployment, single-image latency). Each bucket
+compiles once on first use; captions are identical across bucket choices
+(padding rows are discarded before detokenization).
 """
 
 from __future__ import annotations
@@ -42,7 +49,8 @@ class CaptionPipeline:
                  word_to_id: Dict[str, int], id_to_word: Dict[int, str], *,
                  depth_fn=None, max_length: int = 30, beam_size: int = 1,
                  length_penalty: float = 0.0, batch_size: int = 64,
-                 image_hw=(224, 224), use_pallas: bool = False):
+                 image_hw=(224, 224), use_pallas: bool = False,
+                 batch_buckets=None):
         import jax
         from depth_image_captioning_pub_tpu.data.tokenizer import SPECIAL
         from depth_image_captioning_pub_tpu.engine.evaluate import (
@@ -56,7 +64,14 @@ class CaptionPipeline:
         self.batch_stats = batch_stats
         self.word_to_id = word_to_id
         self.id_to_word = id_to_word
-        self.batch_size = int(batch_size)
+        if batch_buckets:
+            self.batch_buckets = tuple(sorted({int(b) for b in batch_buckets}))
+            if self.batch_buckets[0] < 1:
+                raise ValueError(f"bad batch_buckets {batch_buckets}")
+            self.batch_size = self.batch_buckets[-1]
+        else:
+            self.batch_size = int(batch_size)
+            self.batch_buckets = (self.batch_size,)
         self.image_hw = tuple(image_hw)
         self._rng = jax.random.PRNGKey(0)
         self._fn = make_caption_fn(
@@ -133,15 +148,17 @@ class CaptionPipeline:
 
     def caption_tokens(self, arrays: np.ndarray) -> np.ndarray:
         """[N,H,W,3] uint8 -> [N, max_length] int32 token IDs; pads each
-        chunk to ``batch_size`` so every call hits the same executable."""
+        chunk to the smallest ``batch_buckets`` entry that fits (a single
+        bucket — the default — means every call hits one executable)."""
         import jax
         n = arrays.shape[0]
         rows = []
         for lo in range(0, n, self.batch_size):
             chunk = arrays[lo:lo + self.batch_size]
             valid = chunk.shape[0]
-            if valid < self.batch_size:
-                reps = np.zeros((self.batch_size - valid,), np.int64)
+            bucket = next(b for b in self.batch_buckets if b >= valid)
+            if valid < bucket:
+                reps = np.zeros((bucket - valid,), np.int64)
                 chunk = np.concatenate([chunk, chunk[reps]], axis=0)
             toks = self._fn(self.frozen, self.params, self.batch_stats,
                             jax.device_put(chunk), self._rng)

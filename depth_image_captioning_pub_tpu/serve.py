@@ -4,8 +4,11 @@ The reference has no serving story at all; this closes the gap with a
 stdlib-only (http.server) HTTP endpoint around the jitted TPU hot path.
 Design points that matter for a TPU service:
 
-* ONE compiled program serves every request: the pipeline pads each chunk
-  to its fixed batch size, so jit never retraces under load.
+* A small FIXED set of compiled programs serves every request: the
+  pipeline pads each chunk to the smallest ``--batch-buckets`` entry that
+  fits (default: one bucket of ``--batch-size``), so jit never retraces
+  under load, while a lone request is not padded — or transferred — at the
+  full batch size.
 * Requests are *micro-batched*: concurrent POSTs landing within
   ``batch_window_ms`` are decoded in one device call instead of N (the
   device program is whole-batch-parallel; single-image calls waste the
@@ -181,11 +184,16 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--beam", type=int, default=1)
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--batch-buckets", default=None,
+                   help="comma list, e.g. 1,4,16 (overrides --batch-size)")
     p.add_argument("--batch-window-ms", type=float, default=2.0)
     args = p.parse_args(argv)
+    buckets = ([int(b) for b in args.batch_buckets.split(",")]
+               if args.batch_buckets else None)
     pipe = CaptionPipeline.from_experiment(
         args.kind, args.use_data, set_idx=args.set_idx,
-        beam_size=args.beam, batch_size=args.batch_size)
+        beam_size=args.beam, batch_size=args.batch_size,
+        batch_buckets=buckets)
     httpd = serve(pipe, args.host, args.port, args.batch_window_ms)
     print(f"serving {args.kind} on http://{args.host}:{args.port}")
     try:

@@ -139,3 +139,51 @@ def test_nic_beam1_equals_greedy():
                 assert b[i, t] == g[i, t]
             if g[i, t] == end:
                 done = True
+
+
+@pytest.mark.parametrize("beam,lp", [(1, 0.0), (3, 0.0), (5, 0.7)])
+def test_early_exit_equals_fixed_scan(soft_decoder, beam, lp):
+    """early_exit beam search == the fixed scan, tokens AND scores.
+
+    Exactness argument in ops/decode.beam_search: once every beam has
+    finished, top_k of the forced-<end> continuations reproduces the
+    already-descending scores with an identity parent mapping. Covered in
+    both regimes: sequences that never finish within max_length (random
+    weights, small vocab) and sequences that all finish at step 1 (<end>
+    bias large enough to dominate every logit).
+    """
+    dec, params, feats = soft_decoder
+    end = VOCAB - 1
+    biased = dict(params)
+    biased["out_b"] = params["out_b"] + 100.0 * jax.nn.one_hot(
+        end, VOCAB, dtype=params["out_b"].dtype)
+
+    for p in (params, biased):
+        t_scan, s_scan = dec.apply({"params": p}, feats, 1, end,
+                                   beam_size=beam, max_length=10,
+                                   length_penalty=lp,
+                                   method=dec.beam_sample)
+        t_ee, s_ee = dec.apply({"params": p}, feats, 1, end,
+                               beam_size=beam, max_length=10,
+                               length_penalty=lp, early_exit=True,
+                               method=dec.beam_sample)
+        np.testing.assert_array_equal(np.asarray(t_scan), np.asarray(t_ee))
+        np.testing.assert_array_equal(np.asarray(s_scan), np.asarray(s_ee))
+
+
+def test_early_exit_nic():
+    dec = NICDecoder(vocab_size=VOCAB, dim_embedding=10, dim_hidden=8,
+                     num_layers=2, dtype=jnp.float32)
+    feats = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (3, 10)).astype(np.float32))
+    params = dec.init(jax.random.PRNGKey(0), feats,
+                      jnp.zeros((3, 5), jnp.int32), train=False)["params"]
+    end = VOCAB - 1
+    t_scan, s_scan = dec.apply({"params": params}, feats, end,
+                               beam_size=3, max_length=10,
+                               method=dec.beam_sample)
+    t_ee, s_ee = dec.apply({"params": params}, feats, end,
+                           beam_size=3, max_length=10, early_exit=True,
+                           method=dec.beam_sample)
+    np.testing.assert_array_equal(np.asarray(t_scan), np.asarray(t_ee))
+    np.testing.assert_array_equal(np.asarray(s_scan), np.asarray(s_ee))

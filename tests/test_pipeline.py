@@ -110,3 +110,29 @@ def test_depth_pipeline_direct(coco_tree):  # noqa: F811
     with pytest.raises(ValueError):
         CaptionPipeline(cap, params, {"encoder": frozen["encoder"]}, stats,
                         w2i, i2w)
+
+
+def test_batch_buckets(coco_tree):  # noqa: F811
+    """Bucketed padding: same captions, smallest-fitting compiled shape."""
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 255, (5, 224, 224, 3), dtype=np.uint8)
+    flat = _tiny_pipeline(batch_size=4)
+    bucketed = _tiny_pipeline(batch_buckets=(1, 2, 4))
+    assert bucketed.batch_size == 4
+
+    seen = []
+    real_fn = bucketed._fn
+
+    def spy(frozen, params, stats, chunk, rng_):
+        seen.append(int(chunk.shape[0]))
+        return real_fn(frozen, params, stats, chunk, rng_)
+
+    bucketed._fn = spy
+    assert bucketed(list(imgs)) == flat(list(imgs))
+    assert seen == [4, 1]          # 5 images -> full bucket + 1-bucket tail
+    seen.clear()
+    assert bucketed(imgs[0]) == flat([imgs[0]])[0]
+    assert seen == [1]             # a lone request is not padded to 4
+
+    with pytest.raises(ValueError):
+        _tiny_pipeline(batch_buckets=(0, 2))

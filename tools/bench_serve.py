@@ -15,6 +15,7 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_serve.py
 
 import io
 import json
+import sys
 import threading
 import time
 import urllib.request
@@ -29,7 +30,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 VOCAB = 9956
 
 
-def make_pipeline(batch_size: int):
+def make_pipeline(batch_size: int, buckets=None):
     from depth_image_captioning_pub_tpu.cli import resnet_layers_from_env
     from depth_image_captioning_pub_tpu.config import ConfigEval
     from depth_image_captioning_pub_tpu.models.captioner import (
@@ -44,7 +45,8 @@ def make_pipeline(batch_size: int):
                           resnet_layers=resnet_layers_from_env())
     params, frozen, stats = cap.init(jax.random.PRNGKey(0))
     return CaptionPipeline(cap, params, {"encoder": frozen["encoder"]},
-                           stats, w2i, i2w, batch_size=batch_size)
+                           stats, w2i, i2w, batch_size=batch_size,
+                           batch_buckets=buckets)
 
 
 def jpeg_payload(seed: int = 0) -> bytes:
@@ -63,30 +65,35 @@ def post(port: int, payload: bytes) -> dict:
         return json.loads(r.read())
 
 
-def main():
+def measure(buckets=None, batch_size: int = 16, seq_posts: int = 100,
+            n_clients: int = 16, per_client: int = 15) -> dict:
+    """Returns {p50_ms, p99_ms, caps_per_sec, effective_batch}."""
     from depth_image_captioning_pub_tpu.serve import serve
 
-    batch_size = 16
-    pipe = make_pipeline(batch_size)
+    pipe = make_pipeline(batch_size, buckets)
     httpd = serve(pipe, port=0, batch_window_ms=3.0)
     port = httpd.server_address[1]
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     payload = jpeg_payload()
 
-    for _ in range(3):  # compile + warm the whole HTTP -> device path
+    # compile every bucket shape directly, then warm the HTTP -> device path
+    dummy = np.zeros((1, 224, 224, 3), np.uint8)
+    for b in pipe.batch_buckets:
+        pipe.caption_tokens(np.repeat(dummy, b, axis=0))
+    for _ in range(3):
         post(port, payload)
 
     lat = []
-    for _ in range(100):
+    for _ in range(seq_posts):
         t0 = time.perf_counter()
         post(port, payload)
         lat.append((time.perf_counter() - t0) * 1000)
     lat.sort()
-    p50, p99 = lat[50], lat[98]
+    p50 = lat[len(lat) // 2]
+    p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
 
     svc = httpd.service
     b0, n0 = svc.batches_run, svc.images_served
-    n_clients, per_client = 16, 15
     errs = []
 
     def client(k):
@@ -105,13 +112,23 @@ def main():
         t.join()
     dt = time.perf_counter() - t0
     assert not errs, errs[:1]
-    total = n_clients * per_client
     eff_batch = (svc.images_served - n0) / max(svc.batches_run - b0, 1)
-    print(f"SERVE latency p50 {p50:.1f} ms  p99 {p99:.1f} ms (sequential)")
-    print(f"SERVE throughput {total / dt:.1f} caps/s with {n_clients} "
-          f"clients (effective device batch {eff_batch:.1f}/{batch_size})")
     httpd.shutdown()
     svc.stop()
+    return {"p50_ms": p50, "p99_ms": p99,
+            "caps_per_sec": n_clients * per_client / dt,
+            "effective_batch": eff_batch, "batch_size": batch_size,
+            "n_clients": n_clients}
+
+
+def main():
+    buckets = (1, 2, 4, 8, 16) if "--buckets" in sys.argv else None
+    r = measure(buckets)
+    print(f"SERVE latency p50 {r['p50_ms']:.1f} ms  "
+          f"p99 {r['p99_ms']:.1f} ms (sequential)")
+    print(f"SERVE throughput {r['caps_per_sec']:.1f} caps/s with "
+          f"{r['n_clients']} clients (effective device batch "
+          f"{r['effective_batch']:.1f}/{r['batch_size']})")
 
 
 if __name__ == "__main__":
