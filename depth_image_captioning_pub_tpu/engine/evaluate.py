@@ -117,13 +117,25 @@ def generate_captions(caption_fn: Callable, frozen, params, batch_stats,
                       id_to_word: Dict[int, str], batch_size: int,
                       rng: Optional[jax.Array] = None,
                       max_length: int = 30,
-                      prefetch: int = 3) -> Tuple[List[str], List[List[str]]]:
+                      prefetch: int = 3,
+                      sharding=None) -> Tuple[List[str], List[List[str]]]:
     """Caption every image in ``dataset``; returns (hypotheses, references).
 
     Host detokenization overlaps the next batch's decode: we only block on a
     device array one batch behind.
+
+    ``sharding`` (a batch-dim NamedSharding) data-parallelizes decode over
+    the mesh: each batch is padded up to a device-divisible size and placed
+    sharded; GSPMD splits the whole caption program per device with no
+    cross-device collectives (per-image computation is independent).
+    Callers must pass params/frozen already replicated on the same mesh.
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    pad_to = batch_size
+    if sharding is not None:
+        from depth_image_captioning_pub_tpu.parallel.mesh import (
+            pad_batch_to_devices)
+        pad_to = pad_batch_to_devices(batch_size, sharding.mesh.size)
     hypos: List[str] = []
     refs: List[List[str]] = []
     pending: List[Tuple[jax.Array, int]] = []
@@ -140,10 +152,14 @@ def generate_captions(caption_fn: Callable, frozen, params, batch_stats,
         previous batch's decode instead of serializing in the timed loop
         (measured on the bench rig: e2e 36.7 -> see BENCH_r03 after)."""
         for b in batches:
-            yield b, jax.device_put(b.images)
+            if sharding is not None:
+                yield b, jax.device_put(np.ascontiguousarray(b.images),
+                                        sharding)
+            else:
+                yield b, jax.device_put(b.images)
 
     it = Prefetcher(staged(eval_batches(dataset, word_to_id, batch_size,
-                                        pad_to=batch_size)), depth=prefetch)
+                                        pad_to=pad_to)), depth=prefetch)
     for i, (batch, dev_images) in enumerate(it):
         refs.extend(batch.references)
         rng, key = jax.random.split(rng)
@@ -178,16 +194,33 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
                                  beam_size=beam_size,
                                  end_id=word_to_id[SPECIAL.end],
                                  use_pallas=use_pallas)
+    # Data-parallel over every visible device, mirroring the train engine
+    # (engine/train.py builds its mesh unconditionally): params replicated,
+    # batch dim sharded, no flag needed. The reference is single-device
+    # (config.py:68); this is the framework's own scaling capability.
+    # Pallas kernels are excluded — pallas_call under GSPMD would need a
+    # shard_map wrapper, and --pallas-decode is a single-chip knob.
+    sharding = None
+    if jax.device_count() > 1 and not use_pallas:
+        from depth_image_captioning_pub_tpu.parallel.mesh import (
+            batch_sharding, make_mesh, replicate)
+        mesh = make_mesh()
+        sharding = batch_sharding(mesh)
     scores: Dict[str, List[float]] = {k: [] for k in METRIC_KEYS}
     for set_idx in range(1, num_sets + 1):
         frozen_enc, params, batch_stats = checkpoint_loader(set_idx)
         frozen = {"encoder": frozen_enc}
         if dpt_variables is not None:
             frozen["dpt"] = dpt_variables
+        if sharding is not None:
+            frozen = replicate(mesh, frozen)
+            params = replicate(mesh, params)
+            batch_stats = replicate(mesh, batch_stats)
         hypos, refs = generate_captions(
             caption_fn, frozen, params, batch_stats, dataset,
             word_to_id, id_to_word, cfg.batch_size,
-            rng=jax.random.PRNGKey(set_idx), max_length=cfg.max_length)
+            rng=jax.random.PRNGKey(set_idx), max_length=cfg.max_length,
+            sharding=sharding)
         ref, hypo = load_textfiles(refs, hypos)
         result = score(ref, hypo)
         if not quiet:
