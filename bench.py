@@ -315,7 +315,43 @@ def bench_torch_cpu(sample: int = 8, repeats: int = 3) -> float:
     return sample / times[repeats // 2]
 
 
+def wait_for_chip(attempts: int = 6, probe_timeout: int = 240,
+                  backoff: int = 240) -> None:
+    """Block until the TPU backend can actually be claimed.
+
+    The axon chip admits ONE process; a lingering claim from a previous
+    process makes backend init hang and then fail UNAVAILABLE (measured on
+    this rig: a stuck claim cost two full bench runs). Probing in a
+    SUBPROCESS matters twice over: a hung probe can be killed without
+    wedging this process, and jax caches a failed backend init per-process
+    so the main process must not be the one that fails. No-op on CPU.
+    """
+    import subprocess
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return
+    code = "import jax; d=jax.devices(); print(len(d))"
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                # even a CLEAN exit leaves a lingering claim on this rig
+                # (verify skill: sleep ~200s between TPU processes), so
+                # pause before the main process claims.
+                print("chip probe ok; waiting 210s for the probe's claim "
+                      "to clear", file=sys.stderr)
+                time.sleep(210)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"chip claim unavailable (attempt {i + 1}/{attempts}); "
+              f"waiting {backoff}s", file=sys.stderr)
+        time.sleep(backoff)
+    print("proceeding without a successful chip probe", file=sys.stderr)
+
+
 def main():
+    wait_for_chip()
     # torch baseline FIRST: after the JAX benches the 1-core process is
     # polluted (runtime threads, GC/RSS pressure) and the same torch loop
     # measures ~3x slower, silently inflating vs_baseline (r3 measured
