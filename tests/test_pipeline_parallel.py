@@ -1,0 +1,136 @@
+"""Pipeline parallelism (parallel/pp.py): the GPipe schedule over a
+``stage`` mesh axis must reproduce the sequential block fold — it only
+moves *where* each block runs. Simple blocks match bitwise; the ViT block
+matches to FP reduction order (shard_map partitioning changes XLA fusion).
+
+Runs on the virtual 8-device CPU mesh from conftest.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from depth_image_captioning_pub_tpu.parallel.pp import (
+    make_stage_mesh, pipeline_stage_outputs, stack_block_params,
+    vit_taps_pipelined)
+
+
+def toy_block_apply(p, a):
+    # One dense-ish residual block: a + tanh(a @ w + b).
+    return a + jnp.tanh(a @ p["w"] + p["b"])
+
+
+def make_toy_blocks(n_blocks, dim, seed=0):
+    rng = np.random.default_rng(seed)
+    return [{"w": jnp.asarray(rng.normal(0, 0.3, (dim, dim)), jnp.float32),
+             "b": jnp.asarray(rng.normal(0, 0.1, (dim,)), jnp.float32)}
+            for _ in range(n_blocks)]
+
+
+def sequential(blocks, x):
+    outs = []
+    for p in blocks:
+        x = toy_block_apply(p, x)
+        outs.append(x)
+    return outs
+
+
+@pytest.mark.parametrize("n_stages,n_mb", [(4, 4), (2, 6), (8, 3)])
+def test_stage_outputs_match_sequential(n_stages, n_mb):
+    n_blocks, dim, batch = 8, 16, 12
+    blocks = make_toy_blocks(n_blocks, dim)
+    x = jnp.asarray(np.random.default_rng(1).normal(0, 1, (batch, dim)),
+                    jnp.float32)
+    mesh = make_stage_mesh(n_stages)
+    stacked = stack_block_params(blocks)
+    out = pipeline_stage_outputs(toy_block_apply, stacked, x, mesh, n_mb)
+    assert out.shape == (n_stages, batch, dim)
+    seq = sequential(blocks, x)
+    per_stage = n_blocks // n_stages
+    for s in range(n_stages):
+        np.testing.assert_array_equal(
+            np.asarray(out[s]), np.asarray(seq[(s + 1) * per_stage - 1]))
+
+
+def test_grads_match_sequential():
+    n_blocks, dim, batch, n_stages, n_mb = 8, 8, 8, 4, 2
+    blocks = make_toy_blocks(n_blocks, dim, seed=2)
+    x = jnp.asarray(np.random.default_rng(3).normal(0, 1, (batch, dim)),
+                    jnp.float32)
+    mesh = make_stage_mesh(n_stages)
+    stacked = stack_block_params(blocks)
+
+    def loss_pp(sp):
+        out = pipeline_stage_outputs(toy_block_apply, sp, x, mesh, n_mb)
+        return jnp.sum(out[-1] ** 2)
+
+    def loss_seq(sp):
+        def body(a, p):
+            return toy_block_apply(p, a), None
+        y, _ = jax.lax.scan(body, x, sp)
+        return jnp.sum(y ** 2)
+
+    g_pp = jax.grad(loss_pp)(stacked)
+    g_seq = jax.grad(loss_seq)(stacked)
+    assert float(loss_pp(stacked)) == pytest.approx(float(loss_seq(stacked)),
+                                                    rel=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5),
+        g_pp, g_seq)
+
+
+def test_vit_taps_pipelined_match_loop():
+    """The real ViTBlock stack with token padding: pipelined hook taps ==
+    the sequential block loop (models/dpt.py block loop semantics)."""
+    from depth_image_captioning_pub_tpu.models.dpt import ViTBlock
+
+    dim, heads, n_blocks = 16, 2, 12
+    batch, n_tok, n_pad = 8, 10, 6      # pad to 16 tokens, n_valid=10
+    n = n_tok + n_pad
+    block = ViTBlock(dim=dim, heads=heads, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, n_blocks + 1)
+    tokens = jax.random.normal(keys[0], (batch, n, dim), jnp.float32)
+    tokens = tokens.at[:, n_tok:].set(0.0)
+    params = {}
+    for i in range(n_blocks):
+        params[f"block{i}"] = block.init(
+            keys[i + 1], tokens, n_valid=n_tok)["params"]
+
+    # sequential reference (same loop as DPTDepthModel.__call__)
+    t = tokens
+    taps = {}
+    for i in range(n_blocks):
+        t = block.apply({"params": params[f"block{i}"]}, t, n_valid=n_tok)
+        if i in (8, 11):
+            taps[i] = t
+
+    mesh = make_stage_mesh(4)
+    tap3, tap4 = vit_taps_pipelined(
+        params, tokens, mesh, n_microbatches=4, n_valid=n_tok,
+        dim=dim, heads=heads, n_blocks=n_blocks)
+    # Compare REAL tokens only; pad-row outputs are garbage by contract
+    # (sliced off at the taps in DPTDepthModel too).
+    np.testing.assert_allclose(np.asarray(tap3[:, :n_tok]),
+                               np.asarray(taps[8][:, :n_tok]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(tap4[:, :n_tok]),
+                               np.asarray(taps[11][:, :n_tok]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_validation_errors():
+    blocks = make_toy_blocks(8, 4)
+    stacked = stack_block_params(blocks)
+    x = jnp.zeros((6, 4))
+    mesh = make_stage_mesh(4)
+    with pytest.raises(ValueError, match="not divisible"):
+        pipeline_stage_outputs(toy_block_apply, stacked, x, mesh, 4)
+    mesh3 = make_stage_mesh(3)
+    with pytest.raises(ValueError, match="blocks not divisible"):
+        pipeline_stage_outputs(toy_block_apply, stacked, x, mesh3, 2)
+    with pytest.raises(ValueError, match="stage boundary"):
+        vit_taps_pipelined({}, jnp.zeros((4, 8, 16)), make_stage_mesh(2),
+                           2, dim=16, heads=2)
