@@ -13,7 +13,10 @@ The models here are small (<=123M params frozen DPT; trainable decoders are
 dimension that exists in this workload is the batch. For deployments that
 do outgrow one chip's HBM, parallel/tp.py layers an optional 2-D
 (data, model) mesh with Megatron-style GSPMD shardings on top of the same
-step functions. Multi-host (DCN) extends either mesh via
+step functions, and parallel/pp.py pipelines the ViT block stack over a
+``stage`` axis (GPipe schedule, weights sharded 1/S per stage). EP has no
+substrate here — nothing in the reference or this framework is
+mixture-of-experts. Multi-host (DCN) extends any of these meshes via
 ``jax.distributed.initialize`` — the helpers below are agnostic to it.
 """
 
