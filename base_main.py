@@ -11,6 +11,7 @@ README.md:52-66), bugs fixed (its hard path crashed on ``useData == args[2]``
 
 Each configuration trains 3x (exp_time, reference: base_main.py:17).
 Optional flags (new): --epochs N  --exp-time N  --resnet-weights PATH
+--grad-accum K (accumulate gradients over K microbatches per step)
 """
 
 import sys
@@ -35,6 +36,8 @@ def _parse_flags(args):
             flags["exp_time"] = int(next(it))
         elif a == "--resnet-weights":
             cfg.resnet_weights = next(it)
+        elif a == "--grad-accum":
+            cfg.grad_accum = int(next(it))
         else:
             rest.append(a)
     return rest, flags, cfg

@@ -41,6 +41,8 @@ class ConfigTrain:
     num_epochs: int = 150
     lr_drop: List[int] = dataclasses.field(default_factory=lambda: [20])
     temp_sch: int = 10            # hard-attention temperature update cadence
+    grad_accum: int = 1           # microbatches per step (new; lax.scan
+                                  # accumulation — activation memory / accum)
 
     # NIC (reference: config.py:28-29)
     nic_dim_embedding: int = 300

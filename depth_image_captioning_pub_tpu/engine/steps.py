@@ -68,12 +68,24 @@ def make_attention_train_step(
         optimizer: optax.GradientTransformation,
         alpha_reg: float = 0.0,
         depth_encoder_apply: Optional[Callable] = None,
-        donate: bool = True) -> Callable:
+        donate: bool = True,
+        accum_steps: int = 1) -> Callable:
     """Train step for base-soft/base-hard/depth-soft/depth-hard.
 
     ``decoder_apply(params, features, captions, depth_features, train, temp,
     rng)`` must return (logits, alphas). ``depth_encoder_apply(params,
     batch_stats, depth_maps, train)`` returns (depth_features, new_stats).
+
+    ``accum_steps`` > 1 accumulates gradients over that many microbatches
+    inside the same jitted step (a ``lax.scan``), so activation memory
+    scales 1/accum at a fixed effective batch — the TPU-native way to train
+    beyond HBM limits without touching the data pipeline. Semantics:
+    gradient = mean of the microbatch-loss gradients (exactly the one-shot
+    gradient when microbatches carry equal valid-token counts, e.g. uniform
+    caption lengths; standard equal-weight accumulation otherwise), BN
+    running stats advance sequentially per microbatch, and dropout/Gumbel
+    noise uses per-microbatch rng splits. Batch size must divide by
+    ``accum_steps``.
     """
 
     def loss_fn(params, frozen, batch_stats, batch, rng, temp):
@@ -96,8 +108,15 @@ def make_attention_train_step(
 
     def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array,
              temp: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.frozen, state.batch_stats, batch, rng, temp)
+        if accum_steps == 1:
+            grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
+                state.params, state.frozen, state.batch_stats, batch, rng,
+                temp)
+        else:
+            grads, metrics, new_stats = _accum_grads(
+                lambda p, s, mb, r: jax.grad(loss_fn, has_aux=True)(
+                    p, state.frozen, s, mb, r, temp),
+                state.params, state.batch_stats, batch, rng, accum_steps)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
@@ -105,6 +124,39 @@ def make_attention_train_step(
                           state.step + 1), metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def _accum_grads(grad_fn: Callable, params, batch_stats, batch,
+                 rng: jax.Array, accum_steps: int):
+    """Mean gradient over ``accum_steps`` microbatches via ``lax.scan``.
+
+    ``grad_fn(params, stats, microbatch, rng) -> (grads, (metrics, stats))``.
+    Stats thread through the scan carry (sequential BN updates); metrics
+    are averaged over microbatches.
+    """
+    b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+    if b % accum_steps:
+        raise ValueError(
+            f"batch size {b} not divisible by accum_steps={accum_steps}")
+
+    def split(x):
+        return x.reshape(accum_steps, b // accum_steps, *x.shape[1:])
+
+    micro = jax.tree_util.tree_map(split, batch)
+    rngs = jax.random.split(rng, accum_steps)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    def body(carry, xs):
+        g_acc, stats = carry
+        mb, r = xs
+        g, (m, new_stats) = grad_fn(params, stats, mb, r)
+        return (jax.tree_util.tree_map(jnp.add, g_acc, g), new_stats), m
+
+    (g_sum, new_stats), ms = jax.lax.scan(body, (zeros, batch_stats),
+                                          (micro, rngs))
+    grads = jax.tree_util.tree_map(lambda g: g / accum_steps, g_sum)
+    metrics = jax.tree_util.tree_map(lambda m: jnp.mean(m, axis=0), ms)
+    return grads, metrics, new_stats
 
 
 def make_attention_eval_step(
@@ -143,10 +195,12 @@ def make_attention_eval_step(
 
 def make_nic_train_step(encoder_apply: Callable, decoder_apply: Callable,
                         optimizer: optax.GradientTransformation,
-                        donate: bool = True) -> Callable:
+                        donate: bool = True,
+                        accum_steps: int = 1) -> Callable:
     """NIC train step: trainable = decoder + encoder projection layer
     (reference: nic.py:243-245). ``encoder_apply(frozen_backbone,
-    linear_params, images)`` returns [B, dim_embedding]."""
+    linear_params, images)`` returns [B, dim_embedding]. ``accum_steps``:
+    see make_attention_train_step."""
 
     def loss_fn(params, frozen, batch, rng):
         images = imagenet_normalize(to_unit_float(batch["images"]))
@@ -158,8 +212,15 @@ def make_nic_train_step(encoder_apply: Callable, decoder_apply: Callable,
                         batch.get("pad_mask"))
 
     def step(state: TrainState, batch, rng):
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.frozen, batch, rng)
+        if accum_steps == 1:
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                state.params, state.frozen, batch, rng)
+        else:
+            grads, metrics, _ = _accum_grads(
+                lambda p, s, mb, r: _with_stats(
+                    jax.grad(loss_fn, has_aux=True)(p, state.frozen, mb, r),
+                    s),
+                state.params, state.batch_stats, batch, rng, accum_steps)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
@@ -167,6 +228,12 @@ def make_nic_train_step(encoder_apply: Callable, decoder_apply: Callable,
                           state.step + 1), metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def _with_stats(grads_and_metrics, stats):
+    """Adapt a stats-less (grads, metrics) pair to _accum_grads' contract."""
+    g, m = grads_and_metrics
+    return g, (m, stats)
 
 
 def make_nic_eval_step(encoder_apply: Callable,

@@ -118,7 +118,8 @@ def train(kind: str, ext: int, use_data: str = "coco",
 
     mesh = make_mesh()
     n_dev = len(mesh.devices.ravel())
-    pad_to = pad_batch_to_devices(cfg.batch_size, n_dev)
+    # with grad accumulation each microbatch must still split over devices
+    pad_to = pad_batch_to_devices(cfg.batch_size, n_dev * cfg.grad_accum)
 
     opt = make_optimizer(cfg.lr)
     state = TrainState(params, opt.init(params), frozen, stats, jnp.int32(0))
@@ -128,13 +129,14 @@ def train(kind: str, ext: int, use_data: str = "coco",
     alpha_reg = cfg.alpha_reg if (not is_hard and kind != "nic") else 0.0
     if kind == "nic":
         step_fn = make_nic_train_step(cap.encoder_apply(), cap.decoder_apply(),
-                                      opt)
+                                      opt, accum_steps=cfg.grad_accum)
         val_fn = make_nic_eval_step(cap.encoder_apply(), cap.decoder_apply())
     else:
         step_fn = make_attention_train_step(
             cap.encoder_apply(), cap.decoder_apply(), opt,
             alpha_reg=alpha_reg,
-            depth_encoder_apply=cap.depth_encoder_apply())
+            depth_encoder_apply=cap.depth_encoder_apply(),
+            accum_steps=cfg.grad_accum)
         val_fn = make_attention_eval_step(
             cap.encoder_apply(), cap.decoder_apply(), alpha_reg=alpha_reg,
             depth_encoder_apply=cap.depth_encoder_apply(),

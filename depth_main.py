@@ -9,6 +9,7 @@ that don't exist, calls with wrong arity, and leaves the mlp paths as
     python depth_main.py {soft|hard} {cnn|mlp} {coco|original}
 
 Optional flags (new): --epochs N  --exp-time N  --resnet-weights PATH
+--grad-accum K
 --dpt-weights PATH  --no-depth-cache
 """
 
@@ -43,6 +44,8 @@ def _parse_flags(args):
             flags["cache"] = False
         elif a == "--dpt-size":
             cfg.dpt_image_size = int(next(it))
+        elif a == "--grad-accum":
+            cfg.grad_accum = int(next(it))
         else:
             rest.append(a)
     return rest, flags, cfg
