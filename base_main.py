@@ -12,6 +12,8 @@ README.md:52-66), bugs fixed (its hard path crashed on ``useData == args[2]``
 Each configuration trains 3x (exp_time, reference: base_main.py:17).
 Optional flags (new): --epochs N  --exp-time N  --resnet-weights PATH
 --grad-accum K (accumulate gradients over K microbatches per step)
+--decoder-dtype {float32|bfloat16} (bf16 = mixed-precision training:
+bf16 activations, f32 params/optimizer; eval stays f32 for parity)
 """
 
 import sys
@@ -38,6 +40,8 @@ def _parse_flags(args):
             cfg.resnet_weights = next(it)
         elif a == "--grad-accum":
             cfg.grad_accum = int(next(it))
+        elif a == "--decoder-dtype":
+            cfg.decoder_dtype = next(it)
         else:
             rest.append(a)
     return rest, flags, cfg

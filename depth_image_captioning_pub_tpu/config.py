@@ -43,6 +43,10 @@ class ConfigTrain:
     temp_sch: int = 10            # hard-attention temperature update cadence
     grad_accum: int = 1           # microbatches per step (new; lax.scan
                                   # accumulation — activation memory / accum)
+    decoder_dtype: str = "float32"  # decoder compute dtype for TRAINING
+                                  # (new; "bfloat16" = mixed precision:
+                                  # bf16 activations, f32 params/optimizer.
+                                  # Eval stays f32 for token-ID parity)
 
     # NIC (reference: config.py:28-29)
     nic_dim_embedding: int = 300

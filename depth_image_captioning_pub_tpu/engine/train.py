@@ -111,7 +111,8 @@ def train(kind: str, ext: int, use_data: str = "coco",
     jsonl = JsonlLog(f"{save_directory}/{prefix}_metrics_{suffix}.jsonl") \
         if cfg.log_jsonl else None
 
-    cap = build_captioner(kind, vocab_size, cfg, resnet_layers=resnet_layers)
+    cap = build_captioner(kind, vocab_size, cfg, resnet_layers=resnet_layers,
+                          decoder_dtype=jnp.dtype(cfg.decoder_dtype).type)
     params, frozen, stats = cap.init(jax.random.PRNGKey(cfg.seed + ext))
     if resnet_variables is not None:
         frozen = dict(frozen, encoder=resnet_variables)

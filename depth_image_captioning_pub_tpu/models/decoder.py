@@ -92,14 +92,22 @@ class AttentionDecoder(nn.Module):
         self.out_b = self.param("out_b", nn.initializers.zeros, (vocab,))
 
     # ---- parameter bundles ------------------------------------------------
+    def _w(self, p: jax.Array) -> jax.Array:
+        """Weights cast to the compute dtype (mixed precision: params live
+        in f32, matmuls run in self.dtype, accumulation stays f32 via the
+        ops' preferred_element_type). Identity when dtype is f32 — the
+        parity path is untouched."""
+        return p.astype(self.dtype)
+
     def _att_params(self) -> AttentionParams:
-        return AttentionParams(self.att_w_enc, self.att_b_enc,
-                               self.att_w_dec, self.att_b_dec,
-                               self.att_w_full[:, 0], self.att_b_full[0])
+        return AttentionParams(self._w(self.att_w_enc), self._w(self.att_b_enc),
+                               self._w(self.att_w_dec), self._w(self.att_b_dec),
+                               self._w(self.att_w_full[:, 0]),
+                               self._w(self.att_b_full[0]))
 
     def _lstm_params(self) -> LSTMCellParams:
-        return LSTMCellParams(self.lstm_w_ih, self.lstm_w_hh,
-                              self.lstm_b_ih, self.lstm_b_hh)
+        return LSTMCellParams(self._w(self.lstm_w_ih), self._w(self.lstm_w_hh),
+                              self._w(self.lstm_b_ih), self._w(self.lstm_b_hh))
 
     # ---- shared pieces ----------------------------------------------------
     def fuse(self, features: jax.Array,
@@ -117,7 +125,7 @@ class AttentionDecoder(nn.Module):
         """h0,c0 from Linear(mean(features)) chunked in two
         (reference: base_caption_models.py:115-117)."""
         mean = features.mean(axis=1)
-        hc = mean @ self.init_w + self.init_b
+        hc = mean @ self._w(self.init_w) + self._w(self.init_b)
         h, c = jnp.split(hc, 2, axis=-1)
         return DecoderState(h, c)
 
@@ -138,7 +146,8 @@ class AttentionDecoder(nn.Module):
         h, c = state
         context, alpha = self._attend(features, features_proj, h,
                                       train=train, temp=temp, key=key)
-        gate = jax.nn.sigmoid(h @ self.f_beta_w + self.f_beta_b)
+        gate = jax.nn.sigmoid(h @ self._w(self.f_beta_w)
+                              + self._w(self.f_beta_b))
         x = jnp.concatenate([emb_t, gate * context], axis=-1)
         h, c = lstm_cell(self._lstm_params(), x, h, c)
         out = h
@@ -146,7 +155,12 @@ class AttentionDecoder(nn.Module):
             keep = jax.random.bernoulli(dropout_key, 1.0 - self.dropout,
                                         out.shape)
             out = jnp.where(keep, out / (1.0 - self.dropout), 0.0)
-        logits = out @ self.out_w + self.out_b
+        # vocab-head logits stay f32 (CE on bf16 logits costs real
+        # precision and decode argmaxes token IDs): bf16 matmul inputs,
+        # f32 accumulation/output via preferred_element_type. Identity in
+        # the f32 parity path.
+        logits = jnp.dot(out, self._w(self.out_w),
+                         preferred_element_type=jnp.float32) + self.out_b
         return DecoderState(h, c), logits, alpha
 
     # ---- teacher-forced forward (train / val loss) -------------------------
@@ -171,7 +185,7 @@ class AttentionDecoder(nn.Module):
         features = self.fuse(features, depth_features).astype(self.dtype)
         features_proj = project_features(self._att_params(), features)
         state = self.init_state(features)
-        emb = jnp.take(self.embed, captions, axis=0)      # [B, L, E]
+        emb = jnp.take(self._w(self.embed), captions, axis=0)  # [B, L, E]
         emb_steps = jnp.swapaxes(emb[:, :-1, :], 0, 1)    # [L-1, B, E]
         needs_rng = train or self.attention_kind == "hard"
         if rng is None:
@@ -247,7 +261,7 @@ class AttentionDecoder(nn.Module):
 
         def step(carry, t):
             state, prev = carry
-            emb_t = jnp.take(self.embed, prev, axis=0)
+            emb_t = jnp.take(self._w(self.embed), prev, axis=0)
             key = jax.random.fold_in(rng, t)
             state, logits, alpha = self._step(
                 state, emb_t, features, features_proj,
@@ -286,7 +300,7 @@ class AttentionDecoder(nn.Module):
 
         def body(carry):
             state, prev, (tokens, alphas), t, done = carry
-            emb_t = jnp.take(self.embed, prev, axis=0)
+            emb_t = jnp.take(self._w(self.embed), prev, axis=0)
             key = jax.random.fold_in(rng, t)
             state, logits, alpha = self._step(
                 state, emb_t, features, features_proj,
@@ -423,13 +437,15 @@ class AttentionDecoder(nn.Module):
 
         def step_fn(state, prev, t):
             h, c = state["h"], state["c"]
-            emb_t = jnp.take(self.embed, prev, axis=0)
+            emb_t = jnp.take(self._w(self.embed), prev, axis=0)
             key = jax.random.fold_in(rng, t)
             context = attend(h, key)
-            gate = jax.nn.sigmoid(h @ self.f_beta_w + self.f_beta_b)
+            gate = jax.nn.sigmoid(h @ self._w(self.f_beta_w)
+                                  + self._w(self.f_beta_b))
             x = jnp.concatenate([emb_t, gate * context], axis=-1)
             h, c = lstm_cell(self._lstm_params(), x, h, c)
-            logits = h @ self.out_w + self.out_b
+            logits = jnp.dot(h, self._w(self.out_w),
+                             preferred_element_type=jnp.float32) + self.out_b
             logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
             return {"h": h, "c": c}, logprobs
 

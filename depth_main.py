@@ -46,6 +46,8 @@ def _parse_flags(args):
             cfg.dpt_image_size = int(next(it))
         elif a == "--grad-accum":
             cfg.grad_accum = int(next(it))
+        elif a == "--decoder-dtype":
+            cfg.decoder_dtype = next(it)
         else:
             rest.append(a)
     return rest, flags, cfg

@@ -1,0 +1,97 @@
+"""Mixed-precision decoder training (cfg.decoder_dtype="bfloat16"):
+bf16 matmul inputs with f32 accumulation (ops' preferred_element_type),
+f32 params/optimizer state, f32 vocab-head logits. The f32 default path is
+untouched — token-ID parity tests pin that separately."""
+
+import numpy as np
+import optax
+import pytest
+import jax
+import jax.numpy as jnp
+
+from depth_image_captioning_pub_tpu.config import ConfigTrain
+from depth_image_captioning_pub_tpu.engine.steps import (
+    TrainState, make_attention_train_step, make_optimizer)
+from depth_image_captioning_pub_tpu.models.captioner import build_captioner
+
+
+def _run_steps(decoder_dtype, rng, n=3):
+    cfg = ConfigTrain()
+    cfg.max_caption_len = 8
+    cap = build_captioner("base-soft", 24, cfg, encoder_dtype=jnp.float32,
+                          decoder_dtype=decoder_dtype,
+                          resnet_layers=(1, 1, 1, 1))
+    params, frozen, stats = cap.init(jax.random.PRNGKey(0),
+                                     image_hw=(64, 64))
+    opt = make_optimizer(1e-3)
+    step = make_attention_train_step(cap.encoder_apply(),
+                                     cap.decoder_apply(), opt,
+                                     alpha_reg=0.7, donate=False)
+    state = TrainState(params, opt.init(params), frozen, stats, jnp.int32(0))
+    batch = {
+        "images": jnp.asarray(rng.random((8, 64, 64, 3), dtype=np.float32)),
+        "captions": jnp.asarray(
+            rng.integers(0, 24, (8, 8)).astype(np.int32)),
+        "lengths": jnp.full((8,), 8, jnp.int32),
+        "pad_mask": jnp.ones((8,), bool),
+    }
+    losses = []
+    for i in range(n):
+        state, m = step(state, batch, jax.random.PRNGKey(5 + i),
+                        jnp.float32(1.0))
+        losses.append(float(m["loss"]))
+    return state, losses
+
+
+def test_bf16_decoder_trains_close_to_f32(rng):
+    s16, l16 = _run_steps(jnp.bfloat16, rng)
+    s32, l32 = _run_steps(jnp.float32, rng)
+    assert all(np.isfinite(l16)), l16
+    # same trajectory within bf16 rounding: 8-bit mantissas drift ~1% per
+    # update on this tiny model (measured 1.2% by step 3); 3% still catches
+    # a broken cast (a wrong-dtype path diverges by 10s of %)
+    for a, b in zip(l16, l32):
+        assert a == pytest.approx(b, rel=3e-2)
+    assert l16[-1] < l16[0], "bf16 training did not reduce loss"
+
+
+def test_bf16_params_and_opt_state_stay_f32(rng):
+    s16, _ = _run_steps(jnp.bfloat16, rng, n=1)
+    for leaf in jax.tree_util.tree_leaves(s16.params):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+    for leaf in jax.tree_util.tree_leaves(s16.opt_state):
+        assert jnp.issubdtype(leaf.dtype, jnp.integer) or \
+            leaf.dtype == jnp.float32, leaf.dtype
+
+
+def test_train_engine_threads_decoder_dtype(tmp_path):
+    import os
+    from depth_image_captioning_pub_tpu.data.coco import CocoCaptions
+    from depth_image_captioning_pub_tpu.data.synthetic import (
+        make_synthetic_coco)
+    from depth_image_captioning_pub_tpu.data.vocab import (
+        build_vocab, captions_from_coco_json)
+    from depth_image_captioning_pub_tpu.engine.train import train
+
+    img_dir, ann_file = make_synthetic_coco(str(tmp_path), num_images=6,
+                                            image_hw=(64, 64), seed=4)
+    w2i, _ = build_vocab(captions_from_coco_json(ann_file), [], min_count=1)
+    ds = CocoCaptions(img_dir, ann_file, image_size=(64, 64))
+    cfg = ConfigTrain()
+    cfg.batch_size = 4
+    cfg.max_caption_len = 14
+    cfg.decoder_dtype = "bfloat16"
+    cfg.save_directory_soft = os.path.join(str(tmp_path),
+                                           "exp_result/base_soft")
+    cfg.moving_avg = 10
+    summary = train("base-soft", ext=0, use_data="coco", cfg=cfg,
+                    datasets=(ds, ds), word_to_id=w2i, num_epochs=1,
+                    quiet=True, resnet_layers=(1, 1, 1, 1))
+    assert np.isfinite(summary["best_val_loss"])
+
+
+def test_cli_parses_decoder_dtype():
+    import base_main
+    rest, flags, cfg = base_main._parse_flags(
+        ["soft", "coco", "--decoder-dtype", "bfloat16"])
+    assert rest == ["soft", "coco"] and cfg.decoder_dtype == "bfloat16"
