@@ -53,23 +53,26 @@ def make_batch(batch: int, uses_depth: bool, seed: int = 0):
     return {k: jax.device_put(v) for k, v in arrays.items()}
 
 
-def bench_kind(kind: str, batch: int, steps: int = 30) -> float:
+def bench_kind(kind: str, batch: int, steps: int = 30,
+               decoder_dtype=jnp.float32, accum: int = 1) -> float:
     from depth_image_captioning_pub_tpu.cli import resnet_layers_from_env
     cfg = ConfigTrain()
     cap = build_captioner(kind, VOCAB, cfg,
+                          decoder_dtype=decoder_dtype,
                           resnet_layers=resnet_layers_from_env())
     params, frozen, stats = cap.init(jax.random.PRNGKey(0))
     opt = make_optimizer(cfg.lr)
     state = TrainState(params, opt.init(params), frozen, stats, jnp.int32(0))
     if kind == "nic":
         fn = make_nic_train_step(cap.encoder_apply(), cap.decoder_apply(),
-                                 opt)
+                                 opt, accum_steps=accum)
     else:
         alpha_reg = cfg.alpha_reg if "soft" in kind else 0.0
         fn = make_attention_train_step(
             cap.encoder_apply(), cap.decoder_apply(), opt,
             alpha_reg=alpha_reg,
-            depth_encoder_apply=cap.depth_encoder_apply())
+            depth_encoder_apply=cap.depth_encoder_apply(),
+            accum_steps=accum)
     dev_batch = make_batch(batch, cap.spec.uses_depth)
     temp = jnp.float32(1.0)
     key = jax.random.PRNGKey(0)
@@ -97,15 +100,27 @@ def bench_kind(kind: str, batch: int, steps: int = 30) -> float:
 
 
 def main():
+    args = list(sys.argv[1:])
+    decoder_dtype, accum = jnp.float32, 1
+    if "--bf16" in args:            # mixed-precision decoder A/B
+        args.remove("--bf16")
+        decoder_dtype = jnp.bfloat16
+    if "--accum" in args:
+        i = args.index("--accum")
+        accum = int(args[i + 1])
+        del args[i:i + 2]
     plan = [("base-soft", b) for b in (128, 256, 512)]
     plan += [("depth-soft", b) for b in (64, 128, 256)]
     plan += [("base-hard", 256), ("nic", 256)]
-    if len(sys.argv) > 1:  # e.g. "base-soft:256,nic:128"
+    if args:  # e.g. "base-soft:256,nic:128"
         plan = [(k, int(b)) for k, b in
-                (item.split(":") for item in sys.argv[1].split(","))]
+                (item.split(":") for item in args[0].split(","))]
+    tag = ("bf16 " if decoder_dtype == jnp.bfloat16 else "") + \
+        (f"accum={accum} " if accum > 1 else "")
     for kind, batch in plan:
-        rate = bench_kind(kind, batch)
-        print(f"TRAIN {kind:<11s} batch {batch:<4d} {rate:9.1f} imgs/s",
+        rate = bench_kind(kind, batch, decoder_dtype=decoder_dtype,
+                          accum=accum)
+        print(f"TRAIN {kind:<11s} batch {batch:<4d} {tag}{rate:9.1f} imgs/s",
               flush=True)
 
 
