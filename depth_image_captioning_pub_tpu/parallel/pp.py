@@ -64,16 +64,22 @@ def pipeline_stage_outputs(block_apply: Callable,
                            x: jax.Array,
                            mesh: Mesh,
                            n_microbatches: int,
-                           axis: str = STAGE_AXIS) -> jax.Array:
+                           axis: str = STAGE_AXIS,
+                           batch_axis: Optional[str] = None) -> jax.Array:
     """Run ``n_blocks`` chained ``block_apply`` calls as an S-stage pipeline.
 
     Args:
       block_apply: ``(one_block_params, act) -> act`` with unchanged shape.
       stacked_params: pytree whose leaves lead with the block axis
         (``n_blocks`` divisible by the mesh's stage count S).
-      x: ``[B, ...]`` activations, ``B`` divisible by ``n_microbatches``.
-      mesh: mesh containing ``axis``.
+      x: ``[B, ...]`` activations, ``B`` divisible by ``n_microbatches``
+        (and, with ``batch_axis``, each microbatch by that axis's size).
+      mesh: mesh containing ``axis`` (and ``batch_axis`` if given).
       n_microbatches: GPipe microbatch count M (bubble = (S-1)/(M+S-1)).
+      batch_axis: optional mesh axis to ALSO shard each microbatch over —
+        dp x pp composition on one mesh: every data row runs the same
+        pipeline on its batch shard; no collectives cross the axes (the
+        ppermute stays within each data row).
 
     Returns:
       ``[S, B, ...]`` — the activation after each stage's last block for the
@@ -93,12 +99,18 @@ def pipeline_stage_outputs(block_apply: Callable,
                          f"M={n_microbatches} microbatches")
     n_mb = n_microbatches
     mb = batch // n_mb
+    if batch_axis is not None and mb % mesh.shape[batch_axis]:
+        raise ValueError(
+            f"microbatch {mb} not divisible by mesh axis "
+            f"{batch_axis!r}={mesh.shape[batch_axis]}")
     xs = x.reshape(n_mb, mb, *x.shape[1:])
 
     param_specs = jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
+    in_spec = P(None, batch_axis)          # [M, mb, ...]: shard mb over dp
+    out_spec = P(axis, batch_axis)         # [S*M, mb, ...]
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(param_specs, P()), out_specs=P(axis),
+             in_specs=(param_specs, in_spec), out_specs=out_spec,
              check_vma=False)
     def run(local_params, inputs):
         stage = jax.lax.axis_index(axis)

@@ -53,6 +53,31 @@ def test_stage_outputs_match_sequential(n_stages, n_mb):
             np.asarray(out[s]), np.asarray(seq[(s + 1) * per_stage - 1]))
 
 
+def test_dp_pp_composition_matches_sequential():
+    """2-D (data=2, stage=4) mesh: microbatches shard over data while
+    stages pipeline — same numbers as the sequential fold."""
+    import jax
+    from jax.sharding import Mesh
+    from depth_image_captioning_pub_tpu.parallel.pp import (
+        pipeline_stage_outputs as pso)
+
+    n_blocks, dim, batch, n_mb = 8, 16, 16, 4
+    blocks = make_toy_blocks(n_blocks, dim, seed=5)
+    x = jnp.asarray(np.random.default_rng(6).normal(0, 1, (batch, dim)),
+                    jnp.float32)
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "stage"))
+    stacked = stack_block_params(blocks)
+    out = pso(toy_block_apply, stacked, x, mesh, n_mb, axis="stage",
+              batch_axis="data")
+    seq = sequential(blocks, x)
+    np.testing.assert_array_equal(np.asarray(out[-1]), np.asarray(seq[-1]))
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(seq[3]))
+    # M=16 -> microbatch of 1 cannot shard over data=2
+    with pytest.raises(ValueError, match="not divisible by mesh axis"):
+        pso(toy_block_apply, stacked, x, mesh, 16, axis="stage",
+            batch_axis="data")
+
+
 def test_grads_match_sequential():
     n_blocks, dim, batch, n_stages, n_mb = 8, 8, 8, 4, 2
     blocks = make_toy_blocks(n_blocks, dim, seed=2)
