@@ -170,7 +170,8 @@ def train(kind: str, ext: int, use_data: str = "coco",
     if checkpoint_every or resume:
         from depth_image_captioning_pub_tpu.utils.checkpoint import TrainCheckpointer
         ckptr = TrainCheckpointer(
-            f"{save_directory}/full_state_{prefix}_{suffix}")
+            f"{save_directory}/full_state_{prefix}_{suffix}",
+            async_save=True)  # overlap the orbax write with training
         if resume and (last := ckptr.latest_step()) is not None:
             template = {"params": state.params,
                         "opt_state": state.opt_state,
@@ -266,6 +267,8 @@ def train(kind: str, ext: int, use_data: str = "coco",
                 "batch_stats": jax.device_get(state.batch_stats),
                 "step": np.int32(int(state.step)),
                 "epoch": epoch, "best_val": best_val})
+    if ckptr is not None:
+        ckptr.wait()  # drain any in-flight async write before returning
     summary["best_val_loss"] = best_val
     summary["final_train_loss"] = train_loss
     return summary

@@ -52,21 +52,54 @@ def load_component(path: str, template: Any) -> Any:
 
 
 class TrainCheckpointer:
-    """Full-train-state checkpoints with resume (orbax PyTreeCheckpointer)."""
+    """Full-train-state checkpoints with resume (orbax PyTreeCheckpointer).
 
-    def __init__(self, directory: str):
+    ``async_save=True`` overlaps the disk write with training: ``save``
+    fetches the state to host synchronously (the device buffers may be
+    donated to the next step) and hands the orbax write to a single
+    background thread — the train loop only ever blocks on a still-running
+    PREVIOUS write. ``wait()`` drains the in-flight write; ``latest_step``/
+    ``restore`` drain implicitly so a reader never sees a half-written
+    checkpoint from this process.
+    """
+
+    def __init__(self, directory: str, async_save: bool = False):
         import orbax.checkpoint as ocp
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._ckptr = ocp.PyTreeCheckpointer()
+        self._executor = None
+        self._pending = None
+        if async_save:
+            from concurrent.futures import ThreadPoolExecutor
+            self._executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt-save")
 
     def _path(self, step: int) -> str:
         return os.path.join(self.directory, f"state_{step}")
 
     def save(self, step: int, state: Any, force: bool = True) -> None:
-        self._ckptr.save(self._path(step), _to_numpy(state), force=force)
+        if self._executor is None:
+            self._ckptr.save(self._path(step), _to_numpy(state), force=force)
+            return
+        # np.asarray aliases arrays already on host, so snapshot with a real
+        # copy — the caller may mutate (or the device may donate) its
+        # buffers the moment save() returns.
+        host = jax.tree_util.tree_map(
+            lambda x: np.array(x, copy=True), state)
+        self.wait()                       # at most one write in flight
+        self._pending = self._executor.submit(
+            self._ckptr.save, self._path(step), host, force=force)
+
+    def wait(self) -> None:
+        """Block until the in-flight async write (if any) completes;
+        re-raises its exception."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
 
     def latest_step(self) -> Optional[int]:
+        self.wait()
         steps = []
         for name in os.listdir(self.directory):
             if name.startswith("state_"):
@@ -77,5 +110,6 @@ class TrainCheckpointer:
         return max(steps) if steps else None
 
     def restore(self, step: int, template: Any) -> Any:
+        self.wait()
         restored = self._ckptr.restore(self._path(step), item=_to_numpy(template))
         return restored

@@ -39,6 +39,26 @@ def test_train_checkpointer_roundtrip(tmp_path):
     np.testing.assert_array_equal(restored["w"], state["w"])
 
 
+def test_train_checkpointer_async_roundtrip(tmp_path):
+    """async_save: the write happens on a background thread; the next save
+    (or any read) drains the in-flight one, and the source buffer can be
+    mutated right after save() returns (state is fetched synchronously)."""
+    ck = TrainCheckpointer(str(tmp_path / "ckpts"), async_save=True)
+    w = np.full((3, 3), 2.0, np.float32)
+    state = {"w": w, "epoch": 4, "best_val": 1.25}
+    ck.save(4, state)
+    w[:] = -1.0                      # must not leak into the checkpoint
+    ck.save(7, {"w": np.ones((3, 3), np.float32), "epoch": 7,
+                "best_val": 0.5})
+    assert ck.latest_step() == 7     # drains the in-flight write
+    r4 = ck.restore(4, state)
+    assert r4["epoch"] == 4
+    np.testing.assert_array_equal(r4["w"], np.full((3, 3), 2.0, np.float32))
+    r7 = ck.restore(7, state)
+    assert r7["epoch"] == 7
+    ck.wait()                        # idempotent when nothing is in flight
+
+
 def test_resume_matches_uninterrupted(tmp_path, synthetic_coco):
     """Train 1 epoch + checkpoint, resume for epoch 2 -> same artifacts as a
     straight 2-epoch run with identical seeds."""
