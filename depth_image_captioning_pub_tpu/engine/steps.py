@@ -79,16 +79,20 @@ def make_attention_train_step(
     ``accum_steps`` > 1 accumulates gradients over that many microbatches
     inside the same jitted step (a ``lax.scan``), so activation memory
     scales 1/accum at a fixed effective batch — the TPU-native way to train
-    beyond HBM limits without touching the data pipeline. Semantics:
-    gradient = mean of the microbatch-loss gradients (exactly the one-shot
-    gradient when microbatches carry equal valid-token counts, e.g. uniform
-    caption lengths; standard equal-weight accumulation otherwise), BN
-    running stats advance sequentially per microbatch, and dropout/Gumbel
-    noise uses per-microbatch rng splits. Batch size must divide by
-    ``accum_steps``.
+    beyond HBM limits without touching the data pipeline. EXACT by
+    construction: each microbatch loss is normalized by the FULL batch's
+    token/example counts (losses.py ``denoms``), so summed microbatch
+    gradients equal the one-shot gradient for any length mix — including
+    tail-padded rows (an all-pad microbatch contributes exactly zero). The
+    split is STRIDED (row k of microbatch j is batch row ``j*accum + k``)
+    so under a contiguously-sharded data mesh every microbatch stays
+    balanced across devices with no resharding, and trailing pad rows
+    spread across microbatches. BN running stats advance sequentially per
+    microbatch; dropout/Gumbel noise uses per-microbatch rng splits. Batch
+    size must divide by ``accum_steps``.
     """
 
-    def loss_fn(params, frozen, batch_stats, batch, rng, temp):
+    def loss_fn(params, frozen, batch_stats, batch, rng, temp, denoms=None):
         images = imagenet_normalize(to_unit_float(batch["images"]))
         features = encoder_apply(frozen["encoder"], images)
         features = jax.lax.stop_gradient(features)
@@ -103,7 +107,7 @@ def make_attention_train_step(
             depth_features, train=True, temp=temp, rng=rng)
         loss, metrics = caption_loss(
             logits, batch["captions"], batch["lengths"], alphas,
-            batch.get("pad_mask"), alpha_reg)
+            batch.get("pad_mask"), alpha_reg, denoms=denoms)
         return loss, (metrics, new_stats)
 
     def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array,
@@ -113,9 +117,11 @@ def make_attention_train_step(
                 state.params, state.frozen, state.batch_stats, batch, rng,
                 temp)
         else:
+            targets_len = batch["captions"].shape[1] - 1
+            denoms = _global_denoms(batch, targets_len)
             grads, metrics, new_stats = _accum_grads(
                 lambda p, s, mb, r: jax.grad(loss_fn, has_aux=True)(
-                    p, state.frozen, s, mb, r, temp),
+                    p, state.frozen, s, mb, r, temp, denoms),
                 state.params, state.batch_stats, batch, rng, accum_steps)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
@@ -126,13 +132,30 @@ def make_attention_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def _global_denoms(batch, targets_len: int):
+    """(token_total, example_total) of the FULL batch, for exact-sum
+    accumulation (losses.py ``denoms``)."""
+    from depth_image_captioning_pub_tpu.engine.losses import token_mask
+    mask = token_mask(batch["lengths"], targets_len, batch.get("pad_mask"))
+    tok = jnp.maximum(mask.sum(), 1)
+    pm = batch.get("pad_mask")
+    ex = (jnp.maximum(pm.sum().astype(jnp.float32), 1.0) if pm is not None
+          else jnp.float32(batch["captions"].shape[0]))
+    return tok, ex
+
+
 def _accum_grads(grad_fn: Callable, params, batch_stats, batch,
                  rng: jax.Array, accum_steps: int):
-    """Mean gradient over ``accum_steps`` microbatches via ``lax.scan``.
+    """Summed gradient over ``accum_steps`` microbatches via ``lax.scan``.
 
-    ``grad_fn(params, stats, microbatch, rng) -> (grads, (metrics, stats))``.
-    Stats thread through the scan carry (sequential BN updates); metrics
-    are averaged over microbatches.
+    ``grad_fn(params, stats, microbatch, rng) -> (grads, (metrics, stats))``
+    where the loss inside grad_fn is normalized by FULL-batch denominators
+    (``_global_denoms``), so the sum of microbatch gradients/metrics IS the
+    one-shot value. Stats thread through the scan carry (sequential BN
+    updates). The split is strided — microbatch j holds batch rows
+    ``j::accum_steps`` — keeping each microbatch balanced across a
+    contiguously-sharded data mesh (no per-step resharding) and spreading
+    trailing pad rows.
     """
     b = jax.tree_util.tree_leaves(batch)[0].shape[0]
     if b % accum_steps:
@@ -140,23 +163,29 @@ def _accum_grads(grad_fn: Callable, params, batch_stats, batch,
             f"batch size {b} not divisible by accum_steps={accum_steps}")
 
     def split(x):
-        return x.reshape(accum_steps, b // accum_steps, *x.shape[1:])
+        # [B, ...] -> [accum, B/accum, ...] with micro[j, k] = x[k*accum + j]
+        return x.reshape(b // accum_steps, accum_steps,
+                         *x.shape[1:]).swapaxes(0, 1)
 
     micro = jax.tree_util.tree_map(split, batch)
     rngs = jax.random.split(rng, accum_steps)
     zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
 
     def body(carry, xs):
-        g_acc, stats = carry
+        g_acc, m_acc, stats = carry
         mb, r = xs
         g, (m, new_stats) = grad_fn(params, stats, mb, r)
-        return (jax.tree_util.tree_map(jnp.add, g_acc, g), new_stats), m
+        return (jax.tree_util.tree_map(jnp.add, g_acc, g),
+                jax.tree_util.tree_map(jnp.add, m_acc, m), new_stats), None
 
-    (g_sum, new_stats), ms = jax.lax.scan(body, (zeros, batch_stats),
-                                          (micro, rngs))
-    grads = jax.tree_util.tree_map(lambda g: g / accum_steps, g_sum)
-    metrics = jax.tree_util.tree_map(lambda m: jnp.mean(m, axis=0), ms)
-    return grads, metrics, new_stats
+    mb0 = jax.tree_util.tree_map(lambda x: x[0], micro)
+    m_shape = jax.eval_shape(grad_fn, params, batch_stats, mb0,
+                             rngs[0])[1][0]
+    m_zero = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), m_shape)
+    (g_sum, metrics, new_stats), _ = jax.lax.scan(
+        body, (zeros, m_zero, batch_stats), (micro, rngs))
+    return g_sum, metrics, new_stats
 
 
 def make_attention_eval_step(
@@ -202,23 +231,31 @@ def make_nic_train_step(encoder_apply: Callable, decoder_apply: Callable,
     linear_params, images)`` returns [B, dim_embedding]. ``accum_steps``:
     see make_attention_train_step."""
 
-    def loss_fn(params, frozen, batch, rng):
+    def loss_fn(params, frozen, batch, rng, denom=None):
         images = imagenet_normalize(to_unit_float(batch["images"]))
         features = encoder_apply(frozen["encoder"], params["enc_linear"],
                                  images)
         logits = decoder_apply(params["decoder"], features,
                                batch["captions"], train=True, rng=rng)
         return nic_loss(logits, batch["captions"], batch["lengths"],
-                        batch.get("pad_mask"))
+                        batch.get("pad_mask"), denom=denom)
 
     def step(state: TrainState, batch, rng):
         if accum_steps == 1:
             grads, metrics = jax.grad(loss_fn, has_aux=True)(
                 state.params, state.frozen, batch, rng)
         else:
+            # NIC targets are the unshifted captions (nic_loss): the token
+            # denominator counts t < length over the full batch
+            t = jnp.arange(batch["captions"].shape[1])[None, :]
+            mask = t < batch["lengths"][:, None]
+            if batch.get("pad_mask") is not None:
+                mask = mask & batch["pad_mask"][:, None]
+            denom = jnp.maximum(mask.sum(), 1)
             grads, metrics, _ = _accum_grads(
                 lambda p, s, mb, r: _with_stats(
-                    jax.grad(loss_fn, has_aux=True)(p, state.frozen, mb, r),
+                    jax.grad(loss_fn, has_aux=True)(p, state.frozen, mb, r,
+                                                    denom),
                     s),
                 state.params, state.batch_stats, batch, rng, accum_steps)
         updates, opt_state = optimizer.update(grads, state.opt_state,

@@ -94,9 +94,11 @@ class AttentionDecoder(nn.Module):
     # ---- parameter bundles ------------------------------------------------
     def _w(self, p: jax.Array) -> jax.Array:
         """Weights cast to the compute dtype (mixed precision: params live
-        in f32, matmuls run in self.dtype, accumulation stays f32 via the
-        ops' preferred_element_type). Identity when dtype is f32 — the
-        parity path is untouched."""
+        in f32, matmuls run in self.dtype). f32 accumulation is requested
+        where it matters most — the LSTM gates (ops/lstm.py) and the vocab
+        head below; the attention ops accumulate in the feature dtype
+        (A=128/K=196 reductions, bf16-tolerable) and softmax in f32.
+        Identity when dtype is f32 — the parity path is untouched."""
         return p.astype(self.dtype)
 
     def _att_params(self) -> AttentionParams:
@@ -340,6 +342,12 @@ class AttentionDecoder(nn.Module):
             DecodeSeqWeights, fused_greedy_decode)
         from depth_image_captioning_pub_tpu.ops.pallas.decode_step import (
             pack_weights)
+        if self.dtype != jnp.float32:
+            # the kernel packs raw f32 weights and was only ever validated
+            # on the f32 eval decoder; a bf16 (training-dtype) decoder must
+            # use the XLA scan
+            raise ValueError("pallas decode requires a float32 decoder "
+                             f"(got dtype={self.dtype})")
         interpret = jax.default_backend() == "cpu"
         features = self.fuse(features, depth_features).astype(self.dtype)
         features_proj = project_features(self._att_params(), features)
@@ -468,6 +476,9 @@ class AttentionDecoder(nn.Module):
             DecodeSeqWeights)
         from depth_image_captioning_pub_tpu.ops.pallas.decode_step import (
             pack_weights)
+        if self.dtype != jnp.float32:
+            raise ValueError("pallas beam decode requires a float32 decoder "
+                             f"(got dtype={self.dtype})")
         interpret = jax.default_backend() == "cpu"
         features = self.fuse(features, depth_features).astype(self.dtype)
         features_proj = project_features(self._att_params(), features)

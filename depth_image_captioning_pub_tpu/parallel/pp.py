@@ -174,6 +174,8 @@ def vit_taps_pipelined(dpt_params, tokens: jax.Array, mesh: Mesh,
 
     n_stages = mesh.shape[axis]
     per_stage = n_blocks // n_stages
+    if per_stage == 0:
+        raise ValueError(f"{n_stages} stages exceed {n_blocks} blocks")
     for h in hooks:
         if (h + 1) % per_stage:
             raise ValueError(

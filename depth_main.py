@@ -9,7 +9,7 @@ that don't exist, calls with wrong arity, and leaves the mlp paths as
     python depth_main.py {soft|hard} {cnn|mlp} {coco|original}
 
 Optional flags (new): --epochs N  --exp-time N  --resnet-weights PATH
---grad-accum K
+--grad-accum K  --decoder-dtype {float32|bfloat16}
 --dpt-weights PATH  --no-depth-cache
 """
 

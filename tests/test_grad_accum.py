@@ -1,8 +1,10 @@
 """Gradient accumulation (engine/steps.py accum_steps): k microbatches
 accumulated inside one jitted step must equal the one-shot batch gradient
-when microbatches carry equal valid-token counts (uniform lengths), and BN
-stats must advance sequentially. New capability — the reference trains at
-a fixed batch 30 with no accumulation (reference: base_train.py:144-167).
+EXACTLY — each microbatch loss is normalized by full-batch denominators,
+so ragged lengths and tail padding (which the framework itself creates
+via pad_batch_to_devices) change nothing. BN stats advance sequentially.
+New capability — the reference trains at a fixed batch 30 with no
+accumulation (reference: base_train.py:144-167).
 """
 
 import numpy as np
@@ -56,6 +58,35 @@ def test_accum_equals_one_shot_base_soft(rng):
     s1, m1 = run(1)
     s4, m4 = run(4)
     assert float(m1["loss"]) == pytest.approx(float(m4["loss"]), rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_accum_exact_with_ragged_lengths_and_pad_rows(rng):
+    """The hard case: ragged lengths AND trailing all-pad rows (pad_mask
+    False) — a naive mean-of-microbatch-losses would dilute the gradient
+    when pad rows fill whole microbatches; the global-denominator form is
+    exact regardless of how rows land in microbatches."""
+    cap, cfg, params, frozen, stats, batch = _setup("base-soft", rng)
+    batch = dict(batch,
+                 lengths=jnp.asarray([8, 5, 7, 6, 8, 8, 8, 8], jnp.int32),
+                 pad_mask=jnp.asarray([1, 1, 1, 1, 0, 0, 0, 0], bool))
+    opt = optax.sgd(1.0)
+
+    def run(accum):
+        step = make_attention_train_step(
+            cap.encoder_apply(), cap.decoder_apply(), opt, alpha_reg=0.7,
+            donate=False, accum_steps=accum)
+        state = TrainState(params, opt.init(params), frozen, stats,
+                           jnp.int32(0))
+        return step(state, batch, jax.random.PRNGKey(7), jnp.float32(1.0))
+
+    s1, m1 = run(1)
+    s4, m4 = run(4)
+    assert float(m1["loss"]) == pytest.approx(float(m4["loss"]), rel=1e-6)
+    assert float(m1["ce"]) == pytest.approx(float(m4["ce"]), rel=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s4.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),

@@ -107,6 +107,9 @@ def main():
         decoder_dtype = jnp.bfloat16
     if "--accum" in args:
         i = args.index("--accum")
+        if i + 1 >= len(args) or not args[i + 1].isdigit():
+            sys.exit("usage: bench_train.py [--bf16] [--accum K] "
+                     "[kind:batch,...]")
         accum = int(args[i + 1])
         del args[i:i + 2]
     plan = [("base-soft", b) for b in (128, 256, 512)]
