@@ -261,10 +261,12 @@ def train(kind: str, ext: int, use_data: str = "coco",
 
         if ckptr is not None and checkpoint_every \
                 and (epoch + 1) % checkpoint_every == 0:
+            # device arrays go straight in: the async save's snapshot copy
+            # (np.array) is also the device fetch — one host copy, not two
             ckptr.save(epoch, {
-                "params": jax.device_get(state.params),
-                "opt_state": jax.device_get(state.opt_state),
-                "batch_stats": jax.device_get(state.batch_stats),
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "batch_stats": state.batch_stats,
                 "step": np.int32(int(state.step)),
                 "epoch": epoch, "best_val": best_val})
     if ckptr is not None:

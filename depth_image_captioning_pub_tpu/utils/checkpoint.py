@@ -60,7 +60,10 @@ class TrainCheckpointer:
     background thread — the train loop only ever blocks on a still-running
     PREVIOUS write. ``wait()`` drains the in-flight write; ``latest_step``/
     ``restore`` drain implicitly so a reader never sees a half-written
-    checkpoint from this process.
+    checkpoint from this process. (orbax ships an AsyncCheckpointer with
+    the same contract; this 15-line thread keeps the sync/async paths on
+    one code path and the drain points explicit — revisit if multi-host
+    checkpointing ever needs orbax's coordination.)
     """
 
     def __init__(self, directory: str, async_save: bool = False):
