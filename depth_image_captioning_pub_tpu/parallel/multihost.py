@@ -15,7 +15,9 @@ the analogue of the reference's *absent* multi-node NCCL story.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
+
+import numpy as np
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -35,3 +37,44 @@ def initialize(coordinator_address: Optional[str] = None,
     if process_id is not None:
         kwargs["process_id"] = process_id
     jax.distributed.initialize(**kwargs)
+
+
+def host_shard_indices(n_examples: int,
+                       process_index: Optional[int] = None,
+                       process_count: Optional[int] = None
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """(indices, real_mask) for THIS host's slice of a global dataset.
+
+    Host ``i`` of ``P`` feeds rows ``[i*m, (i+1)*m)`` of the global order
+    with ``m = ceil(n/P)``; the tail wraps so every host supplies the same
+    static count. ``real_mask`` flags non-wrapped rows — thread it into the
+    batch's ``pad_mask`` so wrapped duplicates are excluded from losses and
+    metrics exactly like the single-host pipeline's fill padding.
+    """
+    if process_index is None or process_count is None:
+        import jax
+        process_index = (jax.process_index() if process_index is None
+                         else process_index)
+        process_count = (jax.process_count() if process_count is None
+                         else process_count)
+    m = -(-n_examples // process_count)
+    raw = np.arange(process_index * m, (process_index + 1) * m)
+    return raw % n_examples, raw < n_examples
+
+
+def global_batch(mesh, local_batch, axis_name: str = "data"):
+    """Assemble the global batch from each host's local shard: every leaf's
+    leading dim becomes ``local * process_count``, sharded over the mesh's
+    data axis (``jax.make_array_from_process_local_data`` — the standard
+    SPMD feeding recipe)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(axis_name))
+
+    def put(x):
+        x = np.asarray(x)
+        gshape = (x.shape[0] * jax.process_count(), *x.shape[1:])
+        return jax.make_array_from_process_local_data(sharding, x, gshape)
+
+    return jax.tree_util.tree_map(put, local_batch)

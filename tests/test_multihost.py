@@ -47,8 +47,30 @@ def total(x):
 
 t = float(total(garr))
 assert t == 12.0, t
-print(f"proc {pid}: global sum {t} over {len(jax.devices())} devices OK",
-      flush=True)
+
+# per-host dataset sharding -> global batch assembly: 14 examples over 2
+# hosts wrap to m=7... use 16 to split over 4 local devices; then a ragged
+# n=14 exercises the wrap mask.
+idx, real = multihost.host_shard_indices(16)
+assert idx.shape == (8,) and real.all()
+local_rows = idx.astype(np.float32)[:, None]
+g = multihost.global_batch(mesh, {"x": local_rows})["x"]
+
+@jax.jit
+def in_order(x):
+    return jnp.all(x[:, 0] == jnp.arange(16, dtype=jnp.float32))
+
+assert bool(in_order(g)), "global batch rows out of order"
+
+idx13, real13 = multihost.host_shard_indices(13)
+assert idx13.shape == (7,)
+if pid == 1:
+    assert list(idx13[-2:]) == [12, 0] and list(real13[-2:]) == [True, False]
+else:
+    assert real13.all()
+
+print(f"proc {pid}: global sum {t} over {len(jax.devices())} devices OK; "
+      f"host-shard feeding OK", flush=True)
 """
 
 
@@ -75,3 +97,4 @@ def test_two_process_global_mesh():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert "global sum 12.0 over 8 devices OK" in out
+        assert "host-shard feeding OK" in out
