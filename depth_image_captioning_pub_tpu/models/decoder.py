@@ -277,6 +277,45 @@ class AttentionDecoder(nn.Module):
             step, (state, prev), jnp.arange(max_length))
         return jnp.swapaxes(tokens, 0, 1), jnp.swapaxes(alphas, 0, 1)
 
+    # ---- stochastic sampling (new capability; reference is greedy-only,
+    # base_caption_models.py:206-250) --------------------------------------
+    def stochastic_sample(self, features: jax.Array, start_id: int,
+                          rng: jax.Array,
+                          depth_features: Optional[jax.Array] = None, *,
+                          max_length: int = 30,
+                          temperature: float = 1.0,
+                          top_k: int = 0,
+                          top_p: float = 1.0
+                          ) -> Tuple[jax.Array, jax.Array]:
+        """Batched temperature / top-k / nucleus sampling: the greedy scan
+        with ``jax.random.categorical`` over filtered logits
+        (ops/decode.filtered_logits) instead of argmax. Deterministic per
+        ``rng``; temperature -> 0 (or top_k=1) reproduces greedy argmax.
+        Returns (tokens [B, max_length], alphas [B, max_length, K])."""
+        from depth_image_captioning_pub_tpu.ops.decode import filtered_logits
+        features = self.fuse(features, depth_features).astype(self.dtype)
+        features_proj = project_features(self._att_params(), features)
+        state = self.init_state(features)
+        bsz = features.shape[0]
+        prev = jnp.full((bsz,), start_id, dtype=jnp.int32)
+
+        def step(carry, t):
+            state, prev = carry
+            emb_t = jnp.take(self._w(self.embed), prev, axis=0)
+            k_att, k_tok = jax.random.split(jax.random.fold_in(rng, t))
+            state, logits, alpha = self._step(
+                state, emb_t, features, features_proj,
+                train=False, temp=jnp.float32(1.0), key=k_att,
+                dropout_key=k_att)
+            filt = filtered_logits(logits, temperature=temperature,
+                                   top_k=top_k, top_p=top_p)
+            token = jax.random.categorical(k_tok, filt).astype(jnp.int32)
+            return (state, token), (token, alpha)
+
+        _, (tokens, alphas) = jax.lax.scan(
+            step, (state, prev), jnp.arange(max_length))
+        return jnp.swapaxes(tokens, 0, 1), jnp.swapaxes(alphas, 0, 1)
+
     def _greedy_sample_early_exit(self, features: jax.Array, start_id: int,
                                   end_id: int,
                                   depth_features: Optional[jax.Array], *,

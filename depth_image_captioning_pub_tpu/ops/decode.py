@@ -23,6 +23,38 @@ import jax.numpy as jnp
 NEG_INF = -1e9
 
 
+def filtered_logits(logits: jax.Array, *, temperature: float = 1.0,
+                    top_k: int = 0, top_p: float = 1.0) -> jax.Array:
+    """Temperature + top-k + nucleus filtering for stochastic decoding.
+
+    ``logits`` [..., V] -> f32 logits with everything outside the kept set
+    at -inf, ready for ``jax.random.categorical``. Order matches the common
+    convention: temperature first, then top-k, then top-p on the tempered
+    distribution. Static shapes: one descending sort serves both filters.
+    Ties at the k-th value / nucleus boundary keep ALL tied tokens (a
+    threshold comparison, not a positional cut) — deterministic and
+    shape-static. top_k=0 / top_p=1.0 disable their filters.
+    """
+    logits = logits.astype(jnp.float32)
+    if temperature != 1.0:
+        logits = logits / jnp.maximum(jnp.float32(temperature), 1e-6)
+    v = logits.shape[-1]
+    if not ((top_k and top_k < v) or top_p < 1.0):
+        return logits
+    desc = jnp.flip(jnp.sort(logits, axis=-1), axis=-1)
+    if top_k and top_k < v:
+        kth = jax.lax.slice_in_dim(desc, top_k - 1, top_k, axis=-1)
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        probs = jax.nn.softmax(desc, axis=-1)
+        cum_excl = jnp.cumsum(probs, axis=-1) - probs
+        keep = cum_excl < top_p          # always keeps the argmax
+        min_kept = jnp.min(jnp.where(keep, desc, jnp.inf), axis=-1,
+                           keepdims=True)
+        logits = jnp.where(logits < min_kept, -jnp.inf, logits)
+    return logits
+
+
 def _gather_beams(tree: Any, parent: jax.Array, batch: int,
                   beam: int) -> Any:
     """Reorder [B*W, ...] leaves by per-batch parent indices [B, W]."""
