@@ -45,7 +45,7 @@ def _load_vocabs(w2i_path, i2w_path):
 
 def score_mode(atten: str, use_data: str, cfg: ConfigEval, kind_prefix="base",
                depth=False, depth_fn=None, dpt_variables=None, num_sets=3,
-               beam_size=1, use_pallas=False) -> int:
+               beam_size=1, use_pallas=False, depth_eval_cache=True) -> int:
     from depth_image_captioning_pub_tpu.engine.evaluate import evaluate
     w2i_p, i2w_p, anno, index_file, use_ori = eval_data_selection(cfg, use_data)
     word_to_id, id_to_word = _load_vocabs(w2i_p, i2w_p)
@@ -65,6 +65,7 @@ def score_mode(atten: str, use_data: str, cfg: ConfigEval, kind_prefix="base",
                       id_to_word, cfg, depth_fn=depth_fn,
                       dpt_variables=dpt_variables, num_sets=num_sets,
                       beam_size=beam_size, use_pallas=use_pallas,
+                      depth_eval_cache=depth_eval_cache,
                       scores_pickle=f"{save_directory}/{use_data}_scores.pkl")
     print({k: float(np.mean(v)) for k, v in scores.items()})
     return 0

@@ -87,12 +87,18 @@ def bench_tpu() -> float:
     return N_IMAGES / dt
 
 
-def bench_depth_tpu(n_images: int = 512, batch: int = 64) -> float:
+def bench_depth_tpu(n_images: int = 512, batch: int = 64):
     """Depth-soft flagship throughput: the full pipeline ``entry()``
     showcases — uint-range [0,1] images -> DPT-hybrid 384 depth estimate +
     standardize + 224 resize, frozen ResNet-152 grid features, depth CNN
     encoder, add-fusion soft-attention 30-step greedy scan — timed like
-    bench_tpu (staged inputs, fetch-clocked)."""
+    bench_tpu (staged inputs, fetch-clocked).
+
+    Returns (full_rate, cached_rate): ``cached_rate`` times the SAME
+    caption program fed precomputed depth maps — the program checkpoint
+    sets 2-3 of ``depth_evaluation.py score`` run under the depth-eval
+    cache (engine/evaluate.py: DPT is frozen, so set 1's maps are reused
+    bit-exactly instead of recomputed per set)."""
     import jax
     import jax.numpy as jnp
     from depth_image_captioning_pub_tpu.config import ConfigEval
@@ -125,7 +131,22 @@ def bench_depth_tpu(n_images: int = 512, batch: int = 64) -> float:
     tokens = np.asarray(jnp.concatenate(outs, axis=0))
     dt = time.perf_counter() - t0
     assert tokens.shape == (n_batches * batch, MAX_LEN)
-    return n_batches * batch / dt
+    full_rate = n_batches * batch / dt
+
+    # cached-set rate: capture depth maps once (stays in HBM), then time
+    # the DPT-free program. frozen_nodpt mirrors evaluate()'s "use" sets.
+    dmaps = [fn(frozen, params, stats, s, key, return_depth=True)[1]
+             for s in staged]
+    frozen_nodpt = {"encoder": frozen["encoder"]}
+    for s, d in zip(staged, dmaps):  # compile + force transfers
+        np.asarray(fn(frozen_nodpt, params, stats, s, key, d))
+    t0 = time.perf_counter()
+    outs = [fn(frozen_nodpt, params, stats, staged[i % n_stage], key,
+               dmaps[i % n_stage]) for i in range(n_batches)]
+    tokens_c = np.asarray(jnp.concatenate(outs, axis=0))
+    dt = time.perf_counter() - t0
+    assert np.array_equal(tokens_c, tokens)  # the cache is exact
+    return full_rate, n_batches * batch / dt
 
 
 def bench_e2e_tpu(n_images: int = 4000, batch: int = 250):
@@ -363,10 +384,10 @@ def main():
         baseline = None
     ours = bench_tpu()
     try:
-        depth = bench_depth_tpu()
+        depth, depth_cached = bench_depth_tpu()
     except Exception as e:  # secondary line must not kill the bench
         print(f"depth-soft bench failed: {e}", file=sys.stderr)
-        depth = None
+        depth = depth_cached = None
     try:
         e2e, host_rate = bench_e2e_tpu()
     except Exception as e:
@@ -393,6 +414,10 @@ def main():
         # Flagship depth-soft pipeline (what __graft_entry__.entry() runs):
         # DPT-hybrid 384^2 + ResNet-152 + depth CNN + fused decode, batch 64.
         "depth_soft_captions_per_sec": round(depth, 2) if depth else None,
+        # Same program fed cached depth maps — what checkpoint sets 2-3 of
+        # depth_evaluation.py run (exact: DPT frozen, images fixed).
+        "depth_soft_cached_captions_per_sec":
+            round(depth_cached, 2) if depth_cached else None,
         # Host-in-the-loop eval path: JPEG decode from 480x640 sources +
         # prefetch + transfer + decode + detokenize (bench_e2e_tpu), with
         # the host-only decode pipeline rate as the bound diagnostic.

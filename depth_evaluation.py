@@ -8,13 +8,16 @@ Grammar identical to the reference CLI (reference: depth_evaluation.py:
     python depth_evaluation.py {soft|hard} sample <pic_name> {coco|original}
 
 Same flow as base_evaluation plus the frozen DPT depth estimator feeding the
-trained depth CNN encoder; depth maps are recomputed per batch on-device,
-exactly as the reference does at eval time (depth_evaluation.py:154-158) —
-but inside the same jitted caption function, so DPT, both encoders, and the
-30-step greedy scan are one XLA program.
+trained depth CNN encoder; depth maps are computed per batch on-device inside
+the same jitted caption function (the reference recomputes them per batch on
+a separate module call, depth_evaluation.py:154-158), so DPT, both encoders,
+and the 30-step greedy scan are one XLA program. Across the 3 checkpoint
+sets the maps are CACHED: DPT is frozen and the image subset is fixed, so
+sets 2-3 reuse set 1's maps bit-exactly instead of re-running the DPT
+(--no-depth-eval-cache restores the reference's recompute-per-set behavior).
 
-Extra flag (new): --dpt-weights PATH (replaces the reference's hardcoded
-/home/shirota/... path, DPT_model.py:23).
+Extra flags (new): --dpt-weights PATH (replaces the reference's hardcoded
+/home/shirota/... path, DPT_model.py:23); --no-depth-eval-cache.
 """
 
 import sys
@@ -32,6 +35,7 @@ def main(argv=None):
     num_sets = 3
     beam_size = 1
     use_pallas = False
+    depth_eval_cache = True
     it = iter(args)
     for a in it:
         if a == "--dpt-weights":
@@ -44,6 +48,11 @@ def main(argv=None):
             beam_size = int(next(it))
         elif a == "--pallas-decode":
             use_pallas = True
+        elif a == "--no-depth-eval-cache":
+            # recompute DPT per checkpoint set, as the reference does
+            # (depth_evaluation.py:154-158); the cache is exact, so this
+            # exists for memory-constrained runs, not for parity
+            depth_eval_cache = False
         else:
             rest.append(a)
     args = rest
@@ -58,7 +67,8 @@ def main(argv=None):
         return base_cli.score_mode(args[0], args[2], cfg, depth=True,
                                    depth_fn=depth_fn, dpt_variables=dpt_vars,
                                    num_sets=num_sets, beam_size=beam_size,
-                                   use_pallas=use_pallas)
+                                   use_pallas=use_pallas,
+                                   depth_eval_cache=depth_eval_cache)
     if len(args) == 4 and args[1] == "sample":
         if args[3] not in sample_datas:
             print("input coco or original")

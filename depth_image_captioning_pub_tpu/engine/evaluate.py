@@ -16,6 +16,7 @@ batch is the main single-chip speedup lever (SURVEY.md §7 step 4).
 from __future__ import annotations
 
 import pickle
+from functools import partial
 from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -78,13 +79,19 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
                                 max_length=max_length)
         return caption_fn
 
-    @jax.jit
-    def caption_fn(frozen, params, batch_stats, images, rng):
+    @partial(jax.jit, static_argnames=("return_depth",))
+    def caption_fn(frozen, params, batch_stats, images, rng,
+                   depth_maps=None, return_depth=False):
+        # ``depth_maps`` short-circuits the DPT forward with precomputed
+        # standardized maps (the depth-eval cache: DPT is frozen, so maps
+        # captured on checkpoint set 1 are bit-identical to a recompute);
+        # ``return_depth=True`` additionally returns them for capture.
         images = to_unit_float(images)
         feats = encoder_apply(frozen["encoder"], imagenet_normalize(images))
         dep = None
         if depth_encoder_apply is not None:
-            depth_maps = depth_fn(frozen["dpt"], images)
+            if depth_maps is None:
+                depth_maps = depth_fn(frozen["dpt"], images)
             dep, _ = depth_encoder_apply(params["depth_encoder"],
                                          batch_stats, depth_maps,
                                          train=False)
@@ -100,7 +107,7 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
                 length_penalty=length_penalty, rng=rng,
                 use_pallas=use_pallas, early_exit=not use_pallas,
                 method=AttentionDecoder.beam_sample)
-            return tokens
+            return (tokens, depth_maps) if return_depth else tokens
         # end_id (when known) turns on early-exit greedy decode: the scan
         # stops once every caption in the batch has emitted <end>.
         # use_pallas instead routes the whole sequence through one fused
@@ -108,7 +115,7 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
         tokens, _ = sample_apply(params["decoder"], feats, start_id, dep,
                                  max_length=max_length, rng=rng,
                                  end_id=end_id, use_pallas=use_pallas)
-        return tokens
+        return (tokens, depth_maps) if return_depth else tokens
     return caption_fn
 
 
@@ -118,7 +125,10 @@ def generate_captions(caption_fn: Callable, frozen, params, batch_stats,
                       rng: Optional[jax.Array] = None,
                       max_length: int = 30,
                       prefetch: int = 3,
-                      sharding=None) -> Tuple[List[str], List[List[str]]]:
+                      sharding=None,
+                      depth_cache: Optional[List] = None,
+                      depth_cache_mode: Optional[str] = None
+                      ) -> Tuple[List[str], List[List[str]]]:
     """Caption every image in ``dataset``; returns (hypotheses, references).
 
     Host detokenization overlaps the next batch's decode: we only block on a
@@ -129,6 +139,14 @@ def generate_captions(caption_fn: Callable, frozen, params, batch_stats,
     sharded; GSPMD splits the whole caption program per device with no
     cross-device collectives (per-image computation is independent).
     Callers must pass params/frozen already replicated on the same mesh.
+
+    ``depth_cache``/``depth_cache_mode`` implement the exact multi-set depth
+    cache: mode "fill" captures each batch's DPT depth maps (device arrays,
+    appended to ``depth_cache``), mode "use" feeds ``depth_cache[i]`` back
+    so the compiled program skips the DPT forward entirely. Batching is
+    deterministic (eval_batches), so batch ``i`` covers the same images on
+    every pass; DPT is frozen, so cached maps are bit-identical to a
+    recompute and captions cannot change.
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     pad_to = batch_size
@@ -163,7 +181,15 @@ def generate_captions(caption_fn: Callable, frozen, params, batch_stats,
     for i, (batch, dev_images) in enumerate(it):
         refs.extend(batch.references)
         rng, key = jax.random.split(rng)
-        tokens = caption_fn(frozen, params, batch_stats, dev_images, key)
+        if depth_cache_mode == "fill":
+            tokens, dmaps = caption_fn(frozen, params, batch_stats,
+                                       dev_images, key, return_depth=True)
+            depth_cache.append(dmaps)
+        elif depth_cache_mode == "use":
+            tokens = caption_fn(frozen, params, batch_stats, dev_images,
+                                key, depth_cache[i])
+        else:
+            tokens = caption_fn(frozen, params, batch_stats, dev_images, key)
         pending.append((tokens, int(batch.pad_mask.sum())))
         if len(pending) > 1:
             drain(pending.pop(0))
@@ -182,11 +208,21 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
              scores_pickle: Optional[str] = None,
              beam_size: int = 1,
              use_pallas: bool = False,
+             depth_eval_cache: bool = True,
              quiet: bool = False) -> Dict[str, List[float]]:
     """Score ``num_sets`` checkpoint sets (reference: base_evaluation.py:
     123-166 accumulates per-metric lists over 3 sets and pickles them).
 
     ``checkpoint_loader(set_index)`` -> (frozen_enc, params, batch_stats).
+
+    ``depth_eval_cache`` (depth models, num_sets > 1): the frozen DPT maps
+    depend only on the images, yet the reference recomputes them for every
+    checkpoint set (depth_evaluation.py:154-158). Set 1 captures each
+    batch's depth maps as device arrays; sets 2+ run a DPT-free compiled
+    program fed from the cache — bit-identical scores, ~num_sets x less DPT
+    work. Memory: one [B,224,224,1] array per batch stays in HBM
+    (~0.4 GB for the 4000-image subset in bf16). ``--no-depth-eval-cache``
+    opts out.
     """
     cfg = cfg or ConfigEval()
     start_id = word_to_id[SPECIAL.start]
@@ -207,10 +243,18 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
         mesh = make_mesh()
         sharding = batch_sharding(mesh)
     scores: Dict[str, List[float]] = {k: [] for k in METRIC_KEYS}
+    depth_cache: Optional[List] = [] if (
+        depth_eval_cache and dpt_variables is not None and num_sets > 1) \
+        else None
     for set_idx in range(1, num_sets + 1):
         frozen_enc, params, batch_stats = checkpoint_loader(set_idx)
         frozen = {"encoder": frozen_enc}
-        if dpt_variables is not None:
+        cache_mode = None
+        if depth_cache is not None:
+            cache_mode = "fill" if set_idx == 1 else "use"
+        if dpt_variables is not None and cache_mode != "use":
+            # "use" sets run a DPT-free program: skip shipping (and, under
+            # a mesh, re-replicating) the 123M frozen DPT params per set
             frozen["dpt"] = dpt_variables
         if sharding is not None:
             frozen = replicate(mesh, frozen)
@@ -220,7 +264,8 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
             caption_fn, frozen, params, batch_stats, dataset,
             word_to_id, id_to_word, cfg.batch_size,
             rng=jax.random.PRNGKey(set_idx), max_length=cfg.max_length,
-            sharding=sharding)
+            sharding=sharding, depth_cache=depth_cache,
+            depth_cache_mode=cache_mode)
         ref, hypo = load_textfiles(refs, hypos)
         result = score(ref, hypo)
         if not quiet:
