@@ -14,6 +14,10 @@ Optional flags (new): --epochs N  --exp-time N  --resnet-weights PATH
 --grad-accum K (accumulate gradients over K microbatches per step)
 --decoder-dtype {float32|bfloat16} (bf16 = mixed-precision training:
 bf16 activations, f32 params/optimizer; eval stays f32 for parity)
+--checkpoint-every N (full-state orbax checkpoint every N epochs; also
+arms SIGTERM preemption tolerance — a preempt saves mid-epoch and exits
+cleanly)  --resume (continue from the latest full-state checkpoint,
+including a mid-epoch preemption save, on the identical rng trajectory)
 """
 
 import sys
@@ -27,7 +31,8 @@ DATAS = ("coco", "original")
 
 
 def _parse_flags(args):
-    flags = {"epochs": None, "exp_time": EXP_TIME}
+    flags = {"epochs": None, "exp_time": EXP_TIME,
+             "checkpoint_every": 0, "resume": False}
     cfg = ConfigTrain()
     rest = []
     it = iter(args)
@@ -42,6 +47,10 @@ def _parse_flags(args):
             cfg.grad_accum = int(next(it))
         elif a == "--decoder-dtype":
             cfg.decoder_dtype = next(it)
+        elif a == "--checkpoint-every":
+            flags["checkpoint_every"] = int(next(it))
+        elif a == "--resume":
+            flags["resume"] = True
         else:
             rest.append(a)
     return rest, flags, cfg
@@ -62,9 +71,13 @@ def main(argv=None):
         use_data = args[1]
         resnet = load_resnet_variables(cfg)
         for i in range(flags["exp_time"]):
-            train(f"base-{mode}", ext=i, use_data=use_data, cfg=cfg,
-                  num_epochs=flags["epochs"], resnet_variables=resnet,
-                  resnet_layers=resnet_layers_from_env())
+            out = train(f"base-{mode}", ext=i, use_data=use_data, cfg=cfg,
+                        num_epochs=flags["epochs"], resnet_variables=resnet,
+                        resnet_layers=resnet_layers_from_env(),
+                        checkpoint_every=flags["checkpoint_every"],
+                        resume=flags["resume"])
+            if out.get("preempted"):  # stop cleanly; --resume continues
+                return 0
         return 0
     if mode == "nic":
         resnet = load_resnet_variables(cfg)
@@ -73,9 +86,13 @@ def main(argv=None):
             backbone = {"params": resnet["params"]["backbone"],
                         "batch_stats": resnet["batch_stats"]["backbone"]}
         for i in range(flags["exp_time"]):
-            train("nic", ext=i, use_data="coco", cfg=cfg,
-                  num_epochs=flags["epochs"], resnet_variables=backbone,
-                  resnet_layers=resnet_layers_from_env())
+            out = train("nic", ext=i, use_data="coco", cfg=cfg,
+                        num_epochs=flags["epochs"], resnet_variables=backbone,
+                        resnet_layers=resnet_layers_from_env(),
+                        checkpoint_every=flags["checkpoint_every"],
+                        resume=flags["resume"])
+            if out.get("preempted"):
+                return 0
         return 0
     print("input {soft/hard} {coco/original} or only nic")
     return 1

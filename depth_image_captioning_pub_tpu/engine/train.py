@@ -22,7 +22,10 @@ from __future__ import annotations
 
 import math
 import os
+import signal
+import threading
 import time
+from itertools import islice
 from typing import Callable, Dict, Optional
 
 import numpy as np
@@ -76,7 +79,10 @@ def train(kind: str, ext: int, use_data: str = "coco",
           quiet: bool = False,
           resnet_layers=None,
           resume: bool = False,
-          checkpoint_every: int = 0) -> Dict[str, float]:
+          checkpoint_every: int = 0,
+          preempt_save: bool = True,
+          preempt_event: Optional[threading.Event] = None
+          ) -> Dict[str, float]:
     """Train one configuration; returns summary metrics.
 
     kind: one of models.captioner.KINDS; ext: run index (0..2, the reference
@@ -85,6 +91,17 @@ def train(kind: str, ext: int, use_data: str = "coco",
     maps, required for depth kinds; ``datasets=(train_ds, val_ds)`` and
     ``word_to_id`` override file loading (used by tests/fixtures).
     ``resnet_variables`` injects bridged pretrained backbone weights.
+
+    Preemption tolerance (checkpointing enabled, i.e. ``checkpoint_every``
+    or ``resume``): SIGTERM — what a TPU-pod maintenance event or a
+    preemptible-VM shutdown delivers — finishes the in-flight step, writes
+    a MID-EPOCH full-state checkpoint (params, optimizer, rng position,
+    partial loss sum), and returns cleanly. ``resume=True`` re-enters the
+    same epoch at the next batch with the per-epoch rng re-derived and the
+    already-consumed splits replayed, so a preempted-and-resumed run walks
+    the identical state trajectory as an uninterrupted one. The reference
+    loses the whole run on any interruption (SURVEY.md §5).
+    ``preempt_event`` is a test hook equivalent to receiving SIGTERM.
     """
     cfg = cfg or ConfigTrain()
     use_ori = use_data == "original"
@@ -166,7 +183,22 @@ def train(kind: str, ext: int, use_data: str = "coco",
     # crash, SURVEY.md §5). The frozen backbone is rebuilt deterministically
     # above, so the checkpoint carries only the mutable state.
     start_epoch = 0
+    resume_skip = 0        # batches already consumed in a mid-epoch resume
+    resume_loss_sum = 0.0  # their on-device f32 loss sum (exact round trip)
     ckptr = None
+
+    def ckpt_payload(epoch_, mid_epoch=0, batches_done=0, loss_sum_=0.0):
+        # device arrays go straight in: the async save's snapshot copy
+        # (np.array) is also the device fetch — one host copy, not two
+        return {"params": state.params,
+                "opt_state": state.opt_state,
+                "batch_stats": state.batch_stats,
+                "step": np.int32(int(state.step)),
+                "epoch": epoch_, "best_val": best_val,
+                "mid_epoch": np.int32(mid_epoch),
+                "batches_done": np.int32(batches_done),
+                "loss_sum": float(loss_sum_)}
+
     if checkpoint_every or resume:
         from depth_image_captioning_pub_tpu.utils.checkpoint import TrainCheckpointer
         ckptr = TrainCheckpointer(
@@ -177,34 +209,83 @@ def train(kind: str, ext: int, use_data: str = "coco",
                         "opt_state": state.opt_state,
                         "batch_stats": state.batch_stats,
                         "step": np.int32(0), "epoch": 0,
-                        "best_val": 0.0}
+                        "best_val": 0.0, "mid_epoch": np.int32(0),
+                        "batches_done": np.int32(0), "loss_sum": 0.0}
             restored = ckptr.restore(last, template)
             state = TrainState(restored["params"], restored["opt_state"],
                                state.frozen, restored["batch_stats"],
                                jnp.asarray(restored["step"]))
             state = replicate(mesh, state)
-            start_epoch = int(restored["epoch"]) + 1
             best_val = float(restored["best_val"])
-            if not quiet:
-                print(f"resumed from epoch {start_epoch - 1}")
+            if int(restored["mid_epoch"]):
+                # preemption checkpoint: re-enter the SAME epoch at the
+                # next batch (rng replay + batch skip happen in the loop)
+                start_epoch = int(restored["epoch"])
+                resume_skip = int(restored["batches_done"])
+                resume_loss_sum = float(restored["loss_sum"])
+                if not quiet:
+                    print(f"resumed mid-epoch {start_epoch} "
+                          f"at batch {resume_skip}")
+            else:
+                start_epoch = int(restored["epoch"]) + 1
+                if not quiet:
+                    print(f"resumed from epoch {start_epoch - 1}")
+
+    # Preemption trap: SIGTERM sets a flag; the loop below finishes the
+    # in-flight step, saves a mid-epoch checkpoint, and returns cleanly.
+    # Installed only when a checkpointer exists (otherwise there is nothing
+    # durable to save into) and only from the main thread (signal rules).
+    preempt = {"flag": False}
+
+    def preempted() -> bool:
+        return preempt["flag"] or (preempt_event is not None
+                                   and preempt_event.is_set())
+
+    prev_handler = None
+    trap = (ckptr is not None and preempt_save
+            and threading.current_thread() is threading.main_thread())
+    if trap:
+        prev_handler = signal.signal(
+            signal.SIGTERM, lambda s, f: preempt.update(flag=True))
+
+    def finish_preempted(epoch_, mid_epoch, batches_done, loss_sum_):
+        ckptr.save(epoch_, ckpt_payload(epoch_, mid_epoch=mid_epoch,
+                                        batches_done=batches_done,
+                                        loss_sum_=loss_sum_))
+        ckptr.wait()
+        if not quiet:
+            where = f"batch {batches_done} of epoch {epoch_}" if mid_epoch \
+                else f"end of epoch {epoch_}"
+            print(f"preempted: checkpoint saved at {where}")
+        summary["preempted"] = 1.0
+        summary["best_val_loss"] = best_val
+        summary["final_train_loss"] = train_loss
+        return summary
 
     train_loss = float("nan")
-    for epoch in range(start_epoch, epochs):
+    try:
+      for epoch in range(start_epoch, epochs):
         # per-epoch rng derivation keeps resumed runs identical to
         # uninterrupted ones (sequential splitting would desync on resume)
         rng = jax.random.fold_in(base_rng, epoch)
+        skip = resume_skip if epoch == start_epoch else 0
+        for _ in range(skip):  # replay consumed splits (mid-epoch resume)
+            rng, _ = jax.random.split(rng)
         temp = jnp.float32(gumbel_temperature(epoch, cfg.temp_sch))
         meter = ProgressMeter(cfg.moving_avg, desc=f"[epoch {epoch + 1}]",
                               quiet=quiet)
         t0 = time.time()
         # losses stay ON DEVICE during the epoch (the reference synced
         # loss.item() every step, base_train.py:170); one fetch per epoch
-        loss_sum = None
-        n_steps = 0
+        loss_sum = jnp.float32(resume_loss_sum) if skip else None
+        n_steps = skip
         host_step = int(state.step)
-        it = Prefetcher(train_batches(
+        batches = train_batches(
             train_ds, word_to_id, cfg.batch_size, cfg.max_caption_len,
-            shuffle=True, seed=cfg.seed + ext, epoch=epoch, pad_to=pad_to))
+            shuffle=True, seed=cfg.seed + ext, epoch=epoch, pad_to=pad_to)
+        if skip:  # islice re-decodes the skipped batches; once, on resume
+            batches = islice(batches, skip, None)
+        it = Prefetcher(batches)
         for batch in it:
             rng, step_rng = jax.random.split(rng)
             dev_batch = to_device(batch)
@@ -221,6 +302,9 @@ def train(kind: str, ext: int, use_data: str = "coco",
             loss_sum = loss_dev if loss_sum is None else loss_sum + loss_dev
             n_steps += 1
             meter.update_lazy(lambda ld=loss_dev: ld)
+            if preempted() and ckptr is not None:
+                meter.close()
+                return finish_preempted(epoch, 1, n_steps, float(loss_sum))
         meter.close()
         train_loss = (float(loss_sum) / n_steps) if n_steps else float("nan")
         train_csv.append(epoch, train_loss)
@@ -259,18 +343,19 @@ def train(kind: str, ext: int, use_data: str = "coco",
             if not quiet:
                 print("best model parameters are changed")
 
+        if preempted() and ckptr is not None:
+            # flag raised during validation / logging: the epoch completed
+            # normally, so save an ordinary end-of-epoch checkpoint
+            return finish_preempted(epoch, 0, 0, 0.0)
+
         if ckptr is not None and checkpoint_every \
                 and (epoch + 1) % checkpoint_every == 0:
-            # device arrays go straight in: the async save's snapshot copy
-            # (np.array) is also the device fetch — one host copy, not two
-            ckptr.save(epoch, {
-                "params": state.params,
-                "opt_state": state.opt_state,
-                "batch_stats": state.batch_stats,
-                "step": np.int32(int(state.step)),
-                "epoch": epoch, "best_val": best_val})
-    if ckptr is not None:
-        ckptr.wait()  # drain any in-flight async write before returning
+            ckptr.save(epoch, ckpt_payload(epoch))
+    finally:
+        if trap:
+            signal.signal(signal.SIGTERM, prev_handler)
+        if ckptr is not None:
+            ckptr.wait()  # drain any in-flight async write before returning
     summary["best_val_loss"] = best_val
     summary["final_train_loss"] = train_loss
     return summary

@@ -11,6 +11,8 @@ that don't exist, calls with wrong arity, and leaves the mlp paths as
 Optional flags (new): --epochs N  --exp-time N  --resnet-weights PATH
 --grad-accum K  --decoder-dtype {float32|bfloat16}
 --dpt-weights PATH  --no-depth-cache
+--checkpoint-every N  --resume (full-state checkpoints + SIGTERM
+preemption tolerance with exact mid-epoch resume; see base_main.py)
 """
 
 import sys
@@ -27,7 +29,8 @@ DATAS = ("coco", "original")
 
 
 def _parse_flags(args):
-    flags = {"epochs": None, "exp_time": EXP_TIME, "cache": True}
+    flags = {"epochs": None, "exp_time": EXP_TIME, "cache": True,
+             "checkpoint_every": 0, "resume": False}
     cfg = ConfigTrain()
     rest = []
     it = iter(args)
@@ -48,6 +51,10 @@ def _parse_flags(args):
             cfg.grad_accum = int(next(it))
         elif a == "--decoder-dtype":
             cfg.decoder_dtype = next(it)
+        elif a == "--checkpoint-every":
+            flags["checkpoint_every"] = int(next(it))
+        elif a == "--resume":
+            flags["resume"] = True
         else:
             rest.append(a)
     return rest, flags, cfg
@@ -84,10 +91,14 @@ def main(argv=None):
 
     resnet = load_resnet_variables(cfg)
     for i in range(flags["exp_time"]):
-        train(kind, ext=i, use_data=use_data, cfg=cfg,
-              depth_provider=provider, val_depth_provider=val_provider,
-              num_epochs=flags["epochs"], resnet_variables=resnet,
-              resnet_layers=resnet_layers_from_env())
+        out = train(kind, ext=i, use_data=use_data, cfg=cfg,
+                    depth_provider=provider, val_depth_provider=val_provider,
+                    num_epochs=flags["epochs"], resnet_variables=resnet,
+                    resnet_layers=resnet_layers_from_env(),
+                    checkpoint_every=flags["checkpoint_every"],
+                    resume=flags["resume"])
+        if out.get("preempted"):  # stop cleanly; --resume continues
+            return 0
     return 0
 
 

@@ -1,0 +1,180 @@
+"""Preemption-tolerant training: SIGTERM (or the test-hook event) saves a
+mid-epoch checkpoint; resume re-enters the same epoch at the next batch with
+the rng splits replayed, so preempt+resume equals an uninterrupted run.
+
+The reference loses the whole run on any interruption (SURVEY.md §5 —
+best-val component files are all that survive, base_train.py:223-234).
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import threading
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from depth_image_captioning_pub_tpu.config import ConfigTrain
+from depth_image_captioning_pub_tpu.engine.train import train
+
+TINY = (1, 1, 1, 1)
+
+
+def _cfg(tmp_path, sub):
+    cfg = ConfigTrain()
+    cfg.batch_size = 4
+    cfg.max_caption_len = 10
+    cfg.save_directory_soft = str(tmp_path / sub)
+    return cfg
+
+
+def _read_csv(cfg, name):
+    return open(f"{cfg.save_directory_soft}/base_soft_{name}_loss_coco0.csv"
+                ).read()
+
+
+def test_preempt_midepoch_resume_matches_uninterrupted(tmp_path,
+                                                       synthetic_coco):
+    """Preempt after batch 1 of epoch 0 (deterministic via the event hook),
+    resume to completion: per-epoch train/val losses must equal a straight
+    run's exactly — same rng trajectory, same state, same CSV rows."""
+    from depth_image_captioning_pub_tpu.data.coco import CocoCaptions
+    from depth_image_captioning_pub_tpu.data.vocab import (
+        build_vocab, captions_from_coco_json)
+    img_dir, ann_file = synthetic_coco
+    w2i, _ = build_vocab(captions_from_coco_json(ann_file), [], min_count=1)
+    ds = CocoCaptions(img_dir, ann_file, image_size=(64, 64))
+    common = dict(datasets=(ds, ds), word_to_id=w2i, num_epochs=2,
+                  quiet=True, resnet_layers=TINY)
+
+    cfg_a = _cfg(tmp_path, "straight")
+    train("base-soft", 0, cfg=cfg_a, **common)
+
+    cfg_b = _cfg(tmp_path, "preempted")
+    ev = threading.Event()
+    ev.set()  # preempt at the first flag check = after batch 1 of epoch 0
+    out = train("base-soft", 0, cfg=cfg_b, resume=True, preempt_event=ev,
+                **common)
+    assert out.get("preempted") == 1.0
+    # mid-epoch checkpoint exists; no epoch row was written yet
+    assert not os.path.exists(
+        f"{cfg_b.save_directory_soft}/base_soft_train_loss_coco0.csv")
+
+    out2 = train("base-soft", 0, cfg=cfg_b, resume=True, **common)
+    assert "preempted" not in out2
+    assert _read_csv(cfg_b, "train") == _read_csv(cfg_a, "train")
+    assert _read_csv(cfg_b, "val") == _read_csv(cfg_a, "val")
+    assert out2["best_val_loss"] == out["best_val_loss"] or \
+        out2["best_val_loss"] <= out["best_val_loss"]
+
+
+def test_epoch_end_preempt_saves_and_resumes(tmp_path, synthetic_coco):
+    """A flag raised during validation finishes the epoch normally and
+    saves an ordinary end-of-epoch checkpoint; resume starts the NEXT
+    epoch (not a mid-epoch re-entry)."""
+    from depth_image_captioning_pub_tpu.data.coco import CocoCaptions
+    from depth_image_captioning_pub_tpu.data.vocab import (
+        build_vocab, captions_from_coco_json)
+    img_dir, ann_file = synthetic_coco
+    w2i, _ = build_vocab(captions_from_coco_json(ann_file), [], min_count=1)
+    ds = CocoCaptions(img_dir, ann_file, image_size=(64, 64))
+    common = dict(datasets=(ds, ds), word_to_id=w2i, quiet=True,
+                  resnet_layers=TINY)
+
+    cfg = _cfg(tmp_path, "epochend")
+    ev = threading.Event()
+
+    class ArmOnVal:
+        """Event whose is_set() arms only after the first epoch row exists:
+        approximates 'flag raised between the last batch and epoch end'."""
+
+        def is_set(self):
+            return os.path.exists(f"{cfg.save_directory_soft}/"
+                                  f"base_soft_train_loss_coco0.csv")
+
+    out = train("base-soft", 0, cfg=cfg, resume=True, num_epochs=3,
+                preempt_event=ArmOnVal(), **common)
+    assert out.get("preempted") == 1.0
+    rows = _read_csv(cfg, "train").strip().splitlines()
+    assert len(rows) == 1  # epoch 0 completed, epoch 1 never started
+
+    out2 = train("base-soft", 0, cfg=cfg, resume=True, num_epochs=2,
+                 **common)
+    assert "preempted" not in out2
+    rows = _read_csv(cfg, "train").strip().splitlines()
+    assert len(rows) == 2 and rows[1].startswith("1,")
+
+
+def test_cli_checkpoint_resume_flags(monkeypatch):
+    """--checkpoint-every/--resume thread through base_main.py and
+    depth_main.py to the train engine (train itself is faked; the engine
+    behavior is pinned by the tests above)."""
+    import base_main
+    seen = []
+
+    def fake_train(kind, ext, use_data="coco", **kw):
+        seen.append((kw.get("checkpoint_every"), kw.get("resume")))
+        return {"best_val_loss": 0.0}
+
+    monkeypatch.setattr(base_main, "train", fake_train)
+    assert base_main.main(["soft", "coco", "--epochs", "1", "--exp-time",
+                           "1", "--checkpoint-every", "2"]) == 0
+    assert base_main.main(["soft", "coco", "--epochs", "2", "--exp-time",
+                           "1", "--resume"]) == 0
+    assert seen == [(2, False), (0, True)]
+
+    import depth_main
+    seen.clear()
+    monkeypatch.setattr(depth_main, "train", fake_train)
+    monkeypatch.setattr(depth_main, "make_depth_fn",
+                        lambda cfg: (None, None))
+    monkeypatch.setattr(depth_main, "online_depth_provider",
+                        lambda fn, v: None)
+    assert depth_main.main(["soft", "cnn", "coco", "--exp-time", "1",
+                            "--no-depth-cache", "--checkpoint-every", "3",
+                            "--resume"]) == 0
+    assert seen == [(3, True)]
+
+
+def test_sigterm_subprocess(tmp_path, synthetic_coco):
+    """The real signal path: a training child receives SIGTERM mid-run,
+    prints the preemption notice, exits 0, and leaves a resumable
+    checkpoint directory behind."""
+    img_dir, ann_file = synthetic_coco
+    code = f"""
+import sys
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from depth_image_captioning_pub_tpu.config import ConfigTrain
+from depth_image_captioning_pub_tpu.data.coco import CocoCaptions
+from depth_image_captioning_pub_tpu.data.vocab import build_vocab, captions_from_coco_json
+from depth_image_captioning_pub_tpu.engine.train import train
+cfg = ConfigTrain(); cfg.batch_size = 4; cfg.max_caption_len = 10
+cfg.save_directory_soft = {str(tmp_path / 'sig')!r}
+w2i, _ = build_vocab(captions_from_coco_json({ann_file!r}), [], min_count=1)
+ds = CocoCaptions({img_dir!r}, {ann_file!r}, image_size=(64, 64))
+print("CHILD_READY", flush=True)
+train("base-soft", 0, cfg=cfg, datasets=(ds, ds), word_to_id=w2i,
+      num_epochs=1000, resnet_layers=(1, 1, 1, 1), resume=True)
+print("CHILD_DONE", flush=True)
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen([sys.executable, "-u", "-c", code], env=env,
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    try:
+        # wait for proof the train loop (and thus the SIGTERM handler) is
+        # live — the first epoch's loss line — then preempt
+        for line in proc.stdout:
+            if "train loss" in line:
+                break
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=300)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out
+    assert "preempted: checkpoint saved" in out, out
+    ckdir = tmp_path / "sig" / "full_state_base_soft_coco0"
+    assert any(p.name.startswith("state_") for p in ckdir.iterdir())
