@@ -120,7 +120,8 @@ def sample_mode(atten: str, pic_name: str, use_data: str, cfg: ConfigEval,
     return 0
 
 
-def nic_mode(cfg: ConfigEval, num_sets=3, beam_size=1) -> int:
+def nic_mode(cfg: ConfigEval, num_sets=3, beam_size=1,
+             depth_eval_cache=True) -> int:
     """NIC scoring (reference: nic.py:360-455)."""
     from depth_image_captioning_pub_tpu.engine.evaluate import evaluate
     word_to_id, id_to_word = _load_vocabs(cfg.word_to_id_file,
@@ -136,6 +137,7 @@ def nic_mode(cfg: ConfigEval, num_sets=3, beam_size=1) -> int:
 
     scores = evaluate("nic", "coco", cap, loader, ds, word_to_id, id_to_word,
                       cfg, num_sets=num_sets, beam_size=beam_size,
+                      depth_eval_cache=depth_eval_cache,
                       scores_pickle=f"{cfg.save_directory_nic}/nic_scores.pkl")
     print({k: float(np.mean(v)) for k, v in scores.items()})
     return 0
@@ -147,6 +149,7 @@ def main(argv=None):
     num_sets = 3
     beam_size = 1
     use_pallas = False
+    eval_cache = True
     rest = []
     it = iter(args)
     for a in it:
@@ -156,6 +159,11 @@ def main(argv=None):
             beam_size = int(next(it))
         elif a == "--pallas-decode":
             use_pallas = True
+        elif a == "--no-eval-cache":
+            # recompute every frozen stage per checkpoint set, as the
+            # reference does; the cache is exact, so this exists for
+            # memory-constrained runs, not for parity
+            eval_cache = False
         else:
             rest.append(a)
     args = rest
@@ -167,14 +175,16 @@ def main(argv=None):
             print("input coco or rem_coco or rem_original")
             return 1
         return score_mode(args[0], args[2], cfg, num_sets=num_sets,
-                          beam_size=beam_size, use_pallas=use_pallas)
+                          beam_size=beam_size, use_pallas=use_pallas,
+                          depth_eval_cache=eval_cache)
     if len(args) == 4 and args[1] == "sample":
         if args[3] not in sample_datas:
             print("input coco or original")
             return 1
         return sample_mode(args[0], args[2], args[3], cfg)
     if args and args[0] == "nic":
-        return nic_mode(cfg, num_sets=num_sets, beam_size=beam_size)
+        return nic_mode(cfg, num_sets=num_sets, beam_size=beam_size,
+                        depth_eval_cache=eval_cache)
     print("base_evaluation.py {soft/hard} {score/sample sample_pic} {useData}")
     return 1
 

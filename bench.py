@@ -41,13 +41,17 @@ TRAIN_BATCH = 512        # r3 sweep: 128->2325 256->2700 512->2895 imgs/s
 TRAIN_DEPTH_BATCH = 48   # r3 sweep: 32->1788 48->2190 64->2135 128->1810
 
 
-def bench_tpu() -> float:
+def bench_tpu():
     """On-chip caption throughput: images staged in HBM once (the bench rig
     reaches the chip through a ~30 MB/s loopback tunnel that a real v5e
     host link does not have), then 4000 images decoded and the token matrix
     fetched back to host inside the timed window. Host sync is via the
     final fetch — on this backend ``block_until_ready`` does not actually
-    block, so fetches are the only honest clock."""
+    block, so fetches are the only honest clock.
+
+    Returns (full_rate, cached_rate): ``cached_rate`` feeds the SAME
+    program precomputed ResNet features — the decoder-only work checkpoint
+    sets 2-3 of ``base_evaluation.py score`` run under the eval set cache."""
     import jax
     import jax.numpy as jnp
     from depth_image_captioning_pub_tpu.config import ConfigEval
@@ -84,7 +88,22 @@ def bench_tpu() -> float:
     tokens = np.asarray(jnp.concatenate(outs, axis=0))
     dt = time.perf_counter() - t0
     assert tokens.shape == (N_IMAGES, MAX_LEN)
-    return N_IMAGES / dt
+    full_rate = N_IMAGES / dt
+
+    # cached-set rate: the program checkpoint sets 2-3 of a multi-set
+    # eval run under the set cache (frozen ResNet features replayed; only
+    # the decoder runs per set). See engine/evaluate.py.
+    feats = [fn(frozen, params, stats, s, key, return_cache=True)[1]["feats"]
+             for s in staged]
+    for f in feats:  # compile + force transfers
+        np.asarray(fn({}, params, stats, None, key, feats=f))
+    t0 = time.perf_counter()
+    outs = [fn({}, params, stats, None, key, feats=feats[i % n_stage])
+            for i in range(n_batches)]
+    tokens_c = np.asarray(jnp.concatenate(outs, axis=0))
+    dt = time.perf_counter() - t0
+    assert np.array_equal(tokens_c, tokens)  # the cache is exact
+    return full_rate, N_IMAGES / dt
 
 
 def bench_depth_tpu(n_images: int = 512, batch: int = 64):
@@ -382,7 +401,7 @@ def main():
     except Exception as e:  # torch missing/broken should not kill the bench
         print(f"torch baseline failed: {e}", file=sys.stderr)
         baseline = None
-    ours = bench_tpu()
+    ours, ours_cached = bench_tpu()
     try:
         depth, depth_cached = bench_depth_tpu()
     except Exception as e:  # secondary line must not kill the bench
@@ -411,6 +430,10 @@ def main():
         "value": round(ours, 2),
         "unit": "captions/sec/chip",
         "vs_baseline": round(ours / baseline, 2) if baseline else None,
+        # Cached-set rate: what checkpoint sets 2-3 of base_evaluation.py
+        # run under the eval set cache (frozen ResNet features replayed,
+        # decoder-only program; exact — token equality asserted above).
+        "cached_captions_per_sec": round(ours_cached, 2),
         # Flagship depth-soft pipeline (what __graft_entry__.entry() runs):
         # DPT-hybrid 384^2 + ResNet-152 + depth CNN + fused decode, batch 64.
         "depth_soft_captions_per_sec": round(depth, 2) if depth else None,

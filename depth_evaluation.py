@@ -48,8 +48,9 @@ def main(argv=None):
             beam_size = int(next(it))
         elif a == "--pallas-decode":
             use_pallas = True
-        elif a == "--no-depth-eval-cache":
-            # recompute DPT per checkpoint set, as the reference does
+        elif a in ("--no-eval-cache", "--no-depth-eval-cache"):
+            # recompute every frozen stage (encoder features, DPT maps) per
+            # checkpoint set, as the reference does
             # (depth_evaluation.py:154-158); the cache is exact, so this
             # exists for memory-constrained runs, not for parity
             depth_eval_cache = False

@@ -15,6 +15,7 @@ batch is the main single-chip speedup lever (SURVEY.md §7 step 4).
 
 from __future__ import annotations
 
+import os
 import pickle
 from functools import partial
 from typing import Callable, Dict, List, Optional, Tuple
@@ -63,31 +64,49 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
     depth_encoder_apply = cap.depth_encoder_apply()
 
     if cap.spec.is_nic:
-        @jax.jit
-        def caption_fn(frozen, params, batch_stats, images, rng):
-            images = to_unit_float(images)
-            feats = encoder_apply(frozen["encoder"], params["enc_linear"],
-                                  imagenet_normalize(images))
+        from depth_image_captioning_pub_tpu.ops.pooling import global_avg_pool
+
+        @partial(jax.jit, static_argnames=("return_cache",))
+        def caption_fn(frozen, params, batch_stats, images, rng,
+                       pooled=None, return_cache=False):
+            # ``pooled`` short-circuits the frozen backbone with its cached
+            # [B,2048] pooled output (the eval set cache); the trainable
+            # enc_linear projection still runs per checkpoint set. Same math
+            # as Captioner.encoder_apply, split at the frozen boundary.
+            if pooled is None:
+                x = imagenet_normalize(to_unit_float(images))
+                pooled = global_avg_pool(
+                    cap.backbone.apply(frozen["encoder"], x))
+            feats = cap.projection.apply({"params": params["enc_linear"]},
+                                         pooled)
             if beam_size > 1:
                 tokens, _ = cap.decoder.apply(
                     {"params": params["decoder"]}, feats, end_id,
                     beam_size=beam_size, max_length=max_length,
                     length_penalty=length_penalty, early_exit=True,
                     method=NICDecoder.beam_sample)
-                return tokens
-            return sample_apply(params["decoder"], feats,
-                                max_length=max_length)
+            else:
+                tokens = sample_apply(params["decoder"], feats,
+                                      max_length=max_length)
+            return (tokens, {"pooled": pooled}) if return_cache else tokens
         return caption_fn
 
-    @partial(jax.jit, static_argnames=("return_depth",))
+    @partial(jax.jit, static_argnames=("return_depth", "return_cache"))
     def caption_fn(frozen, params, batch_stats, images, rng,
-                   depth_maps=None, return_depth=False):
-        # ``depth_maps`` short-circuits the DPT forward with precomputed
-        # standardized maps (the depth-eval cache: DPT is frozen, so maps
-        # captured on checkpoint set 1 are bit-identical to a recompute);
-        # ``return_depth=True`` additionally returns them for capture.
-        images = to_unit_float(images)
-        feats = encoder_apply(frozen["encoder"], imagenet_normalize(images))
+                   depth_maps=None, return_depth=False, feats=None,
+                   return_cache=False):
+        # ``depth_maps``/``feats`` short-circuit the frozen stages with
+        # precomputed values (the eval set cache: DPT and the attention
+        # encoder are frozen, so values captured on checkpoint set 1 are
+        # bit-identical to a recompute). ``return_depth=True`` returns the
+        # maps alone; ``return_cache=True`` returns the full cache entry.
+        if feats is None:
+            images = to_unit_float(images)
+            feats = encoder_apply(frozen["encoder"],
+                                  imagenet_normalize(images))
+        elif depth_encoder_apply is not None and depth_maps is None:
+            raise ValueError("cached feats for a depth model need cached "
+                             "depth maps too (images are not re-read)")
         dep = None
         if depth_encoder_apply is not None:
             if depth_maps is None:
@@ -107,6 +126,8 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
                 length_penalty=length_penalty, rng=rng,
                 use_pallas=use_pallas, early_exit=not use_pallas,
                 method=AttentionDecoder.beam_sample)
+            if return_cache:
+                return tokens, {"feats": feats, "depth_maps": depth_maps}
             return (tokens, depth_maps) if return_depth else tokens
         # end_id (when known) turns on early-exit greedy decode: the scan
         # stops once every caption in the batch has emitted <end>.
@@ -115,6 +136,8 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
         tokens, _ = sample_apply(params["decoder"], feats, start_id, dep,
                                  max_length=max_length, rng=rng,
                                  end_id=end_id, use_pallas=use_pallas)
+        if return_cache:
+            return tokens, {"feats": feats, "depth_maps": depth_maps}
         return (tokens, depth_maps) if return_depth else tokens
     return caption_fn
 
@@ -127,7 +150,9 @@ def generate_captions(caption_fn: Callable, frozen, params, batch_stats,
                       prefetch: int = 3,
                       sharding=None,
                       depth_cache: Optional[List] = None,
-                      depth_cache_mode: Optional[str] = None
+                      depth_cache_mode: Optional[str] = None,
+                      set_cache: Optional[Dict] = None,
+                      set_cache_mode: Optional[str] = None
                       ) -> Tuple[List[str], List[List[str]]]:
     """Caption every image in ``dataset``; returns (hypotheses, references).
 
@@ -147,6 +172,15 @@ def generate_captions(caption_fn: Callable, frozen, params, batch_stats,
     deterministic (eval_batches), so batch ``i`` covers the same images on
     every pass; DPT is frozen, so cached maps are bit-identical to a
     recompute and captions cannot change.
+
+    ``set_cache``/``set_cache_mode`` generalize that to EVERY frozen eval
+    stage: mode "fill" captures per-batch cache entries (attention models:
+    encoder features + depth maps; NIC: the pooled backbone output) plus
+    the reference lists; mode "use" replays them — no dataset pass, no
+    host JPEG decode, no image transfer, and the compiled program runs
+    only the per-set trainable stages (projection/depth encoder/decoder).
+    Callers must guarantee the frozen encoder params are identical to the
+    fill pass's (evaluate() checks this across checkpoint sets).
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     pad_to = batch_size
@@ -163,6 +197,19 @@ def generate_captions(caption_fn: Callable, frozen, params, batch_stats,
         toks = np.asarray(tokens)[:n_valid]
         for row in toks:
             hypos.append(ids_to_caption(row, id_to_word))
+
+    if set_cache_mode == "use":
+        # replay the cached frozen-stage outputs: device-only work, no
+        # dataset iteration (references were captured on the fill pass)
+        for aux, n_valid in set_cache["entries"]:
+            rng, key = jax.random.split(rng)
+            tokens = caption_fn({}, params, batch_stats, None, key, **aux)
+            pending.append((tokens, n_valid))
+            if len(pending) > 1:
+                drain(pending.pop(0))
+        for entry in pending:
+            drain(entry)
+        return hypos, [list(r) for r in set_cache["refs"]]
 
     def staged(batches):
         """Start the host->device image transfer from the prefetch thread:
@@ -181,7 +228,12 @@ def generate_captions(caption_fn: Callable, frozen, params, batch_stats,
     for i, (batch, dev_images) in enumerate(it):
         refs.extend(batch.references)
         rng, key = jax.random.split(rng)
-        if depth_cache_mode == "fill":
+        n_valid = int(batch.pad_mask.sum())
+        if set_cache_mode == "fill":
+            tokens, aux = caption_fn(frozen, params, batch_stats,
+                                     dev_images, key, return_cache=True)
+            set_cache["entries"].append((aux, n_valid))
+        elif depth_cache_mode == "fill":
             tokens, dmaps = caption_fn(frozen, params, batch_stats,
                                        dev_images, key, return_depth=True)
             depth_cache.append(dmaps)
@@ -190,12 +242,41 @@ def generate_captions(caption_fn: Callable, frozen, params, batch_stats,
                                 key, depth_cache[i])
         else:
             tokens = caption_fn(frozen, params, batch_stats, dev_images, key)
-        pending.append((tokens, int(batch.pad_mask.sum())))
+        pending.append((tokens, n_valid))
         if len(pending) > 1:
             drain(pending.pop(0))
     for entry in pending:
         drain(entry)
+    if set_cache_mode == "fill":
+        set_cache["refs"] = [list(r) for r in refs]
     return hypos, refs
+
+
+def _trees_equal(ref, other) -> bool:
+    """Exact equality of two pytrees (structure + every array value).
+
+    Guards the frozen-feature cache: reusing set 1's encoder features for
+    set k is only valid if set k's encoder params are identical. Loader
+    output is host numpy (msgpack), so this is a cheap memcmp-style pass."""
+    la, sa = jax.tree_util.tree_flatten(ref)
+    lb, sb = jax.tree_util.tree_flatten(other)
+    if sa != sb or len(la) != len(lb):
+        return False
+    return all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(la, lb))
+
+
+def _projected_cache_bytes(cap: Captioner, cfg, n_images: int,
+                           uses_depth: bool) -> int:
+    """Upper-bound estimate of the frozen-stage cache's device footprint:
+    attention models cache [B, regions, dim_encoder] features (+ depth
+    maps), NIC caches the [B, dim_encoder] pooled backbone output."""
+    itemsize = jnp.dtype(cap.encoder_dtype).itemsize
+    regions = 1 if cap.spec.is_nic else int(cfg.enc_img_size) ** 2
+    per_img = regions * int(cfg.dim_encoder) * itemsize
+    if uses_depth:
+        per_img += 224 * 224 * 4  # standardized maps, f32 worst case
+    return per_img * n_images
 
 
 def evaluate(kind: str, use_data: str, cap: Captioner,
@@ -215,14 +296,20 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
 
     ``checkpoint_loader(set_index)`` -> (frozen_enc, params, batch_stats).
 
-    ``depth_eval_cache`` (depth models, num_sets > 1): the frozen DPT maps
-    depend only on the images, yet the reference recomputes them for every
+    ``depth_eval_cache`` (num_sets > 1): every frozen eval stage depends
+    only on the images, yet the reference recomputes all of it for every
     checkpoint set (depth_evaluation.py:154-158). Set 1 captures each
-    batch's depth maps as device arrays; sets 2+ run a DPT-free compiled
-    program fed from the cache — bit-identical scores, ~num_sets x less DPT
-    work. Memory: one [B,224,224,1] array per batch stays in HBM
-    (~0.4 GB for the 4000-image subset in bf16). ``--no-depth-eval-cache``
-    opts out.
+    batch's frozen-stage outputs as device arrays (attention models:
+    encoder features + DPT depth maps; NIC: the pooled backbone output)
+    plus the reference lists; sets 2+ replay them — no dataset pass, no
+    host JPEG decode, no image transfer, and the compiled program runs
+    only the per-set trainable stages. Bit-identical scores, guarded by an
+    exact equality check of each set's frozen encoder params against set
+    1's (on mismatch, depth models still replay the shared-DPT depth
+    maps). Device memory is bounded by $DCAP_EVAL_CACHE_GB (default 8;
+    the COCO-val-4000 subset needs ~3.2 GB in bf16 + 0.8 GB of maps) —
+    over the bound it degrades to the depth-only cache.
+    ``--no-eval-cache`` / ``--no-depth-eval-cache`` opt out entirely.
     """
     cfg = cfg or ConfigEval()
     start_id = word_to_id[SPECIAL.start]
@@ -243,19 +330,58 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
         mesh = make_mesh()
         sharding = batch_sharding(mesh)
     scores: Dict[str, List[float]] = {k: [] for k in METRIC_KEYS}
+    cache_on = depth_eval_cache and num_sets > 1
+    uses_depth = dpt_variables is not None
+    set_cache: Optional[Dict] = None
+    if cache_on:
+        projected = _projected_cache_bytes(cap, cfg, len(dataset),
+                                           uses_depth)
+        limit = float(os.environ.get("DCAP_EVAL_CACHE_GB", "8")) * 2**30
+        if projected <= limit:
+            set_cache = {"entries": [], "refs": None}
+        elif not quiet:
+            print(f"eval set cache would need ~{projected / 2**30:.1f} GB "
+                  f"(> DCAP_EVAL_CACHE_GB={limit / 2**30:.0f}); caching "
+                  f"{'depth maps only' if uses_depth else 'nothing'}")
+    # depth-only fallback: the DPT variables are shared across sets by
+    # construction, so depth maps need no equality guard
     depth_cache: Optional[List] = [] if (
-        depth_eval_cache and dpt_variables is not None and num_sets > 1) \
-        else None
+        cache_on and uses_depth and set_cache is None) else None
+    enc_ref = None
     for set_idx in range(1, num_sets + 1):
         frozen_enc, params, batch_stats = checkpoint_loader(set_idx)
-        frozen = {"encoder": frozen_enc}
-        cache_mode = None
-        if depth_cache is not None:
-            cache_mode = "fill" if set_idx == 1 else "use"
-        if dpt_variables is not None and cache_mode != "use":
-            # "use" sets run a DPT-free program: skip shipping (and, under
-            # a mesh, re-replicating) the 123M frozen DPT params per set
-            frozen["dpt"] = dpt_variables
+        set_mode = depth_mode = None
+        if set_idx == 1:
+            if set_cache is not None:
+                enc_ref = jax.tree_util.tree_map(np.asarray, frozen_enc)
+                set_mode = "fill"
+            elif depth_cache is not None:
+                depth_mode = "fill"
+        elif set_cache is not None:
+            if _trees_equal(enc_ref, frozen_enc):
+                set_mode = "use"
+            else:
+                # per-set encoder params genuinely differ (the reference's
+                # frozen encoders never do): frozen features are invalid,
+                # but the shared-DPT depth maps still replay exactly
+                if not quiet:
+                    print(f"set {set_idx}: encoder params differ from set "
+                          f"1; frozen-feature cache skipped")
+                if uses_depth:
+                    depth_mode = "use"
+                    depth_cache = [aux["depth_maps"]
+                                   for aux, _ in set_cache["entries"]]
+        elif depth_cache is not None:
+            depth_mode = "use"
+
+        if set_mode == "use":
+            frozen = {}  # replay runs only per-set trainable stages
+        else:
+            frozen = {"encoder": frozen_enc}
+            if uses_depth and depth_mode != "use":
+                # depth-replay sets run a DPT-free program: skip shipping
+                # (and, under a mesh, re-replicating) the 123M DPT params
+                frozen["dpt"] = dpt_variables
         if sharding is not None:
             frozen = replicate(mesh, frozen)
             params = replicate(mesh, params)
@@ -265,7 +391,8 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
             word_to_id, id_to_word, cfg.batch_size,
             rng=jax.random.PRNGKey(set_idx), max_length=cfg.max_length,
             sharding=sharding, depth_cache=depth_cache,
-            depth_cache_mode=cache_mode)
+            depth_cache_mode=depth_mode, set_cache=set_cache,
+            set_cache_mode=set_mode)
         ref, hypo = load_textfiles(refs, hypos)
         result = score(ref, hypo)
         if not quiet:
