@@ -18,6 +18,7 @@ bf16 activations, f32 params/optimizer; eval stays f32 for parity)
 arms SIGTERM preemption tolerance — a preempt saves mid-epoch and exits
 cleanly)  --resume (continue from the latest full-state checkpoint,
 including a mid-epoch preemption save, on the identical rng trajectory)
+--checkpoint-keep K (retain only the newest K full-state checkpoints)
 """
 
 import sys
@@ -49,6 +50,8 @@ def _parse_flags(args):
             cfg.decoder_dtype = next(it)
         elif a == "--checkpoint-every":
             flags["checkpoint_every"] = int(next(it))
+        elif a == "--checkpoint-keep":
+            cfg.checkpoint_keep = int(next(it))
         elif a == "--resume":
             flags["resume"] = True
         else:

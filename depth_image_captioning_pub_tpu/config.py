@@ -47,6 +47,8 @@ class ConfigTrain:
                                   # (new; "bfloat16" = mixed precision:
                                   # bf16 activations, f32 params/optimizer.
                                   # Eval stays f32 for token-ID parity)
+    checkpoint_keep: int = 0      # retain only the newest K full-state
+                                  # checkpoints (new; 0 = keep all)
 
     # NIC (reference: config.py:28-29)
     nic_dim_embedding: int = 300

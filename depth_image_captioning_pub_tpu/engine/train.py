@@ -203,7 +203,8 @@ def train(kind: str, ext: int, use_data: str = "coco",
         from depth_image_captioning_pub_tpu.utils.checkpoint import TrainCheckpointer
         ckptr = TrainCheckpointer(
             f"{save_directory}/full_state_{prefix}_{suffix}",
-            async_save=True)  # overlap the orbax write with training
+            async_save=True,  # overlap the orbax write with training
+            keep=getattr(cfg, "checkpoint_keep", 0))
         if resume and (last := ckptr.latest_step()) is not None:
             template = {"params": state.params,
                         "opt_state": state.opt_state,

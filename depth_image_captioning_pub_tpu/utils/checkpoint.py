@@ -66,10 +66,12 @@ class TrainCheckpointer:
     checkpointing ever needs orbax's coordination.)
     """
 
-    def __init__(self, directory: str, async_save: bool = False):
+    def __init__(self, directory: str, async_save: bool = False,
+                 keep: int = 0):
         import orbax.checkpoint as ocp
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        self.keep = keep  # retain only the newest `keep` steps (0 = all)
         self._ckptr = ocp.PyTreeCheckpointer()
         self._executor = None
         self._pending = None
@@ -81,9 +83,33 @@ class TrainCheckpointer:
     def _path(self, step: int) -> str:
         return os.path.join(self.directory, f"state_{step}")
 
+    def _steps(self) -> list:
+        steps = []
+        for name in os.listdir(self.directory):
+            if name.startswith("state_"):
+                try:
+                    steps.append(int(name.split("_", 1)[1]))
+                except ValueError:
+                    pass
+        return steps
+
+    def _prune(self) -> None:
+        """Delete all but the newest ``keep`` checkpoints. Runs after a
+        completed write (on the writer thread when async), so a reader
+        that drains via wait() never sees the latest step disappear."""
+        if not self.keep:
+            return
+        import shutil
+        for step in sorted(self._steps())[:-self.keep]:
+            shutil.rmtree(self._path(step), ignore_errors=True)
+
+    def _write(self, step: int, host_state: Any, force: bool) -> None:
+        self._ckptr.save(self._path(step), host_state, force=force)
+        self._prune()
+
     def save(self, step: int, state: Any, force: bool = True) -> None:
         if self._executor is None:
-            self._ckptr.save(self._path(step), _to_numpy(state), force=force)
+            self._write(step, _to_numpy(state), force)
             return
         # np.asarray aliases arrays already on host, so snapshot with a real
         # copy — the caller may mutate (or the device may donate) its
@@ -91,8 +117,7 @@ class TrainCheckpointer:
         host = jax.tree_util.tree_map(
             lambda x: np.array(x, copy=True), state)
         self.wait()                       # at most one write in flight
-        self._pending = self._executor.submit(
-            self._ckptr.save, self._path(step), host, force=force)
+        self._pending = self._executor.submit(self._write, step, host, force)
 
     def wait(self) -> None:
         """Block until the in-flight async write (if any) completes;
@@ -103,13 +128,7 @@ class TrainCheckpointer:
 
     def latest_step(self) -> Optional[int]:
         self.wait()
-        steps = []
-        for name in os.listdir(self.directory):
-            if name.startswith("state_"):
-                try:
-                    steps.append(int(name.split("_", 1)[1]))
-                except ValueError:
-                    pass
+        steps = self._steps()
         return max(steps) if steps else None
 
     def restore(self, step: int, template: Any) -> Any:

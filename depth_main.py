@@ -11,8 +11,9 @@ that don't exist, calls with wrong arity, and leaves the mlp paths as
 Optional flags (new): --epochs N  --exp-time N  --resnet-weights PATH
 --grad-accum K  --decoder-dtype {float32|bfloat16}
 --dpt-weights PATH  --no-depth-cache
---checkpoint-every N  --resume (full-state checkpoints + SIGTERM
-preemption tolerance with exact mid-epoch resume; see base_main.py)
+--checkpoint-every N  --resume  --checkpoint-keep K (full-state
+checkpoints + SIGTERM preemption tolerance with exact mid-epoch resume;
+see base_main.py)
 """
 
 import sys
@@ -53,6 +54,8 @@ def _parse_flags(args):
             cfg.decoder_dtype = next(it)
         elif a == "--checkpoint-every":
             flags["checkpoint_every"] = int(next(it))
+        elif a == "--checkpoint-keep":
+            cfg.checkpoint_keep = int(next(it))
         elif a == "--resume":
             flags["resume"] = True
         else:

@@ -59,6 +59,23 @@ def test_train_checkpointer_async_roundtrip(tmp_path):
     ck.wait()                        # idempotent when nothing is in flight
 
 
+def test_keep_prunes_old_checkpoints(tmp_path):
+    """keep=K retains only the newest K steps, sync and async; the latest
+    step stays restorable after every prune."""
+    for async_save in (False, True):
+        ck = TrainCheckpointer(str(tmp_path / f"ck_{async_save}"),
+                               async_save=async_save, keep=2)
+        state = {"w": np.ones((2,), np.float32), "epoch": 0}
+        for step in (1, 3, 5, 7):
+            ck.save(step, dict(state, epoch=step))
+        assert ck.latest_step() == 7   # drains the in-flight write
+        kept = sorted(int(n.split("_")[1])
+                      for n in os.listdir(ck.directory)
+                      if n.startswith("state_"))
+        assert kept == [5, 7]
+        assert ck.restore(7, state)["epoch"] == 7
+
+
 def test_resume_matches_uninterrupted(tmp_path, synthetic_coco):
     """Train 1 epoch + checkpoint, resume for epoch 2 -> same artifacts as a
     straight 2-epoch run with identical seeds."""
