@@ -72,11 +72,22 @@ def score_mode(atten: str, use_data: str, cfg: ConfigEval, kind_prefix="base",
 
 
 def sample_mode(atten: str, pic_name: str, use_data: str, cfg: ConfigEval,
-                depth=False, depth_fn=None, dpt_variables=None) -> int:
+                depth=False, depth_fn=None, dpt_variables=None,
+                sampling=None, seed=0) -> int:
+    """Caption + attention-overlay the images of one sample_pic set.
+
+    ``sampling`` (new; reference is greedy-only,
+    base_caption_models.py:165-204): a {"temperature","top_k","top_p"}
+    dict switches the decode to stochastic draws
+    (AttentionDecoder.stochastic_sample) — each image gets its own key
+    derived from ``seed`` and its position, so re-runs with the same seed
+    reproduce the same captions and overlays.
+    """
     import jax
     import jax.numpy as jnp
     from depth_image_captioning_pub_tpu.data.tokenizer import SPECIAL
     from depth_image_captioning_pub_tpu.engine.visualize import sample_directory
+    from depth_image_captioning_pub_tpu.models.decoder import AttentionDecoder
     from depth_image_captioning_pub_tpu.ops.image_ops import imagenet_normalize
 
     if pic_name not in cfg.sample_dirs:
@@ -98,18 +109,32 @@ def sample_mode(atten: str, pic_name: str, use_data: str, cfg: ConfigEval,
     start_id = word_to_id[SPECIAL.start]
 
     @jax.jit
-    def run(img, dpt_vars):
+    def run(img, dpt_vars, rng):
         feats = enc_apply(frozen_enc, imagenet_normalize(img))
         dep = None
         if dep_apply is not None:
             dmap = depth_fn(dpt_vars, img)
             dep, _ = dep_apply(params["depth_encoder"], stats, dmap,
                                train=False)
+        if sampling is not None:
+            return cap.decoder.apply(
+                {"params": params["decoder"]}, feats, start_id, rng, dep,
+                max_length=cfg.max_length,
+                temperature=sampling.get("temperature", 1.0),
+                top_k=sampling.get("top_k", 0),
+                top_p=sampling.get("top_p", 1.0),
+                method=AttentionDecoder.stochastic_sample)
+        # greedy keeps the reference-pinned fixed key (soft ignores it;
+        # hard's Gumbel-max draws stay reproducible run-to-run)
         return samp(params["decoder"], feats, start_id, dep,
                     max_length=cfg.max_length, rng=jax.random.PRNGKey(0))
 
+    base_key = jax.random.PRNGKey(seed)
+    counter = iter(range(1 << 30))
+
     def caption_one(arr):
-        toks, alphas = run(jnp.asarray(arr)[None], dpt_variables)
+        key = jax.random.fold_in(base_key, next(counter))
+        toks, alphas = run(jnp.asarray(arr)[None], dpt_variables, key)
         return np.asarray(toks)[0], np.asarray(alphas)[0]
 
     src = cfg.sample_dirs[pic_name]
@@ -150,6 +175,8 @@ def main(argv=None):
     beam_size = 1
     use_pallas = False
     eval_cache = True
+    stochastic = False
+    temperature, top_k, top_p, seed = 1.0, 0, 1.0, 0
     rest = []
     it = iter(args)
     for a in it:
@@ -164,9 +191,21 @@ def main(argv=None):
             # reference does; the cache is exact, so this exists for
             # memory-constrained runs, not for parity
             eval_cache = False
+        elif a == "--stochastic":
+            stochastic = True  # sample mode only: draw instead of argmax
+        elif a == "--temperature":
+            temperature = float(next(it))
+        elif a == "--top-k":
+            top_k = int(next(it))
+        elif a == "--top-p":
+            top_p = float(next(it))
+        elif a == "--seed":
+            seed = int(next(it))
         else:
             rest.append(a)
     args = rest
+    sampling = ({"temperature": temperature, "top_k": top_k, "top_p": top_p}
+                if stochastic else None)
     seed_everything(cfg.seed)
     evaluation_datas = ("coco", "rem_coco", "rem_original")
     sample_datas = ("coco", "original")
@@ -181,7 +220,8 @@ def main(argv=None):
         if args[3] not in sample_datas:
             print("input coco or original")
             return 1
-        return sample_mode(args[0], args[2], args[3], cfg)
+        return sample_mode(args[0], args[2], args[3], cfg,
+                           sampling=sampling, seed=seed)
     if args and args[0] == "nic":
         return nic_mode(cfg, num_sets=num_sets, beam_size=beam_size,
                         depth_eval_cache=eval_cache)

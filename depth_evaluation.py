@@ -36,6 +36,8 @@ def main(argv=None):
     beam_size = 1
     use_pallas = False
     depth_eval_cache = True
+    stochastic = False
+    temperature, top_k, top_p, seed = 1.0, 0, 1.0, 0
     it = iter(args)
     for a in it:
         if a == "--dpt-weights":
@@ -54,9 +56,21 @@ def main(argv=None):
             # (depth_evaluation.py:154-158); the cache is exact, so this
             # exists for memory-constrained runs, not for parity
             depth_eval_cache = False
+        elif a == "--stochastic":
+            stochastic = True  # sample mode only: draw instead of argmax
+        elif a == "--temperature":
+            temperature = float(next(it))
+        elif a == "--top-k":
+            top_k = int(next(it))
+        elif a == "--top-p":
+            top_p = float(next(it))
+        elif a == "--seed":
+            seed = int(next(it))
         else:
             rest.append(a)
     args = rest
+    sampling = ({"temperature": temperature, "top_k": top_k, "top_p": top_p}
+                if stochastic else None)
     seed_everything(cfg.seed)
     evaluation_datas = ("coco", "rem_coco", "rem_original")
     sample_datas = ("coco", "original")
@@ -77,7 +91,8 @@ def main(argv=None):
         depth_fn, dpt_vars = make_depth_fn(cfg)
         return base_cli.sample_mode(args[0], args[2], args[3], cfg,
                                     depth=True, depth_fn=depth_fn,
-                                    dpt_variables=dpt_vars)
+                                    dpt_variables=dpt_vars,
+                                    sampling=sampling, seed=seed)
     print("depth_evaluation.py {soft/hard} {score/sample sample_pic} {useData}")
     return 1
 

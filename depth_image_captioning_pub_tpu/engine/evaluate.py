@@ -38,7 +38,8 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
                     depth_fn: Optional[Callable] = None,
                     beam_size: int = 1, end_id: Optional[int] = None,
                     length_penalty: float = 0.0,
-                    use_pallas: bool = False) -> Callable:
+                    use_pallas: bool = False,
+                    sampling: Optional[Dict] = None) -> Callable:
     """Build the jitted end-to-end caption function for one model config.
 
     Returns fn(frozen, trainable_params, batch_stats, images, rng) ->
@@ -51,6 +52,11 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
 
     ``beam_size=1`` is the reference's greedy decode (token-ID parity path);
     ``beam_size>1`` switches to batched beam search (requires ``end_id``).
+
+    ``sampling`` (attention models, beam_size 1): a dict of
+    {"temperature", "top_k", "top_p"} switches the scan to stochastic
+    decoding (AttentionDecoder.stochastic_sample) — deterministic per the
+    ``rng`` argument; temperature -> 0 or top_k=1 reproduces greedy.
     """
     from depth_image_captioning_pub_tpu.models.decoder import AttentionDecoder
     from depth_image_captioning_pub_tpu.models.nic import NICDecoder
@@ -59,6 +65,10 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
 
     if beam_size > 1 and end_id is None:
         raise ValueError("beam search needs end_id (<end> token)")
+    if sampling is not None and (beam_size > 1 or cap.spec.is_nic
+                                 or use_pallas):
+        raise ValueError("stochastic sampling is a greedy-scan variant for "
+                         "attention models (no beam/NIC/pallas)")
     encoder_apply = cap.encoder_apply()
     sample_apply = cap.sample_apply()
     depth_encoder_apply = cap.depth_encoder_apply()
@@ -133,9 +143,18 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
         # stops once every caption in the batch has emitted <end>.
         # use_pallas instead routes the whole sequence through one fused
         # kernel (1.9x decode speed; near-tie argmax steps may flip).
-        tokens, _ = sample_apply(params["decoder"], feats, start_id, dep,
-                                 max_length=max_length, rng=rng,
-                                 end_id=end_id, use_pallas=use_pallas)
+        if sampling is not None:
+            tokens, _ = cap.decoder.apply(
+                {"params": params["decoder"]}, feats, start_id, rng, dep,
+                max_length=max_length,
+                temperature=sampling.get("temperature", 1.0),
+                top_k=sampling.get("top_k", 0),
+                top_p=sampling.get("top_p", 1.0),
+                method=AttentionDecoder.stochastic_sample)
+        else:
+            tokens, _ = sample_apply(params["decoder"], feats, start_id, dep,
+                                     max_length=max_length, rng=rng,
+                                     end_id=end_id, use_pallas=use_pallas)
         if return_cache:
             return tokens, {"feats": feats, "depth_maps": depth_maps}
         return (tokens, depth_maps) if return_depth else tokens

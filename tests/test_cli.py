@@ -174,6 +174,58 @@ def test_beam_and_pallas_decode_cli_flags(coco_tree):
     assert beam2_kernel == beam2
 
 
+def test_sample_stochastic_cli(coco_tree):
+    """--stochastic driven through base_evaluation's sample mode (the
+    flag-threading layer; decoder-level sampling behavior is pinned in
+    tests/test_sampling_decode.py). top_k=1 must reproduce the greedy
+    caption exactly; a fixed seed must be reproducible across runs."""
+    import base_main
+    import base_evaluation
+    d = coco_tree / "exp_result" / "base_soft"
+    if not (d / "base_soft_decoder_best_coco0.pth.msgpack").exists():
+        assert base_main.main(["soft", "coco", "--epochs", "1",
+                               "--exp-time", "1"]) == 0
+    cap_txt = coco_tree / "sample_pic" / "dog" / "base_soft" / "caption.txt"
+
+    def caption_after(extra):
+        argv = ["soft", "sample", "dog", "coco"] + extra
+        assert base_evaluation.main(argv) == 0
+        return cap_txt.read_text()
+
+    greedy = caption_after([])
+    assert caption_after(["--stochastic", "--top-k", "1"]) == greedy
+    draw1 = caption_after(["--stochastic", "--temperature", "2.0",
+                           "--seed", "5"])
+    draw2 = caption_after(["--stochastic", "--temperature", "2.0",
+                           "--seed", "5"])
+    assert draw1 == draw2  # same seed -> same draws
+
+
+def test_depth_evaluation_threads_sampling_flags(monkeypatch):
+    """depth_evaluation must pass the parsed sampling flags through to
+    sample_mode (regression: the flags were parsed but dropped)."""
+    import depth_evaluation
+
+    seen = {}
+
+    def fake_sample_mode(atten, pic, use_data, cfg, **kw):
+        seen.update(atten=atten, pic=pic, use_data=use_data, **kw)
+        return 0
+
+    monkeypatch.setattr(depth_evaluation, "make_depth_fn",
+                        lambda cfg: ("depth_fn", "dpt_vars"))
+    monkeypatch.setattr(depth_evaluation.base_cli, "sample_mode",
+                        fake_sample_mode)
+    rc = depth_evaluation.main(["soft", "sample", "dog", "coco",
+                                "--stochastic", "--temperature", "1.3",
+                                "--top-k", "7", "--top-p", "0.9",
+                                "--seed", "11"])
+    assert rc == 0
+    assert seen["sampling"] == {"temperature": 1.3, "top_k": 7,
+                                "top_p": 0.9}
+    assert seen["seed"] == 11 and seen["depth"] is True
+
+
 def test_original_dataset_train_and_rem_coco_eval(coco_tree):
     """The 'original' dataset paths: train with use_data=original, then
     score with useData=rem_coco (ori vocab + remCOCO anno + 500-index
