@@ -24,6 +24,22 @@ largest, which cuts both the device work and the host->device transfer for
 small requests (on a serving deployment, single-image latency). Each bucket
 compiles once on first use; captions are identical across bucket choices
 (padding rows are discarded before detokenization).
+
+``sample=True`` switches to stochastic decoding (temperature / top-k /
+nucleus); repeated calls draw fresh captions, deterministic per ``seed``.
+Caveat: the categorical draws depend on the padded batch shape, so under
+``batch_buckets`` a sampled caption is reproducible only at a fixed bucket
+(greedy/beam stay bucket-invariant).
+
+On a multi-chip host the pipeline data-parallelizes automatically, the same
+way the eval engine does (engine/evaluate.py:339-350): params are
+replicated over a 1-D mesh of every visible device, batch buckets are
+rounded up to device-divisible sizes, and each chunk is placed with its
+batch dim sharded — GSPMD splits the caption program per chip with no
+collectives (per-image work is independent). Captions are identical to the
+single-device pipeline's. Pass ``devices=[...]`` to restrict the mesh (one
+device = no sharding); ``use_pallas`` stays single-chip (a ``pallas_call``
+under GSPMD would need a shard_map wrapper).
 """
 
 from __future__ import annotations
@@ -50,7 +66,9 @@ class CaptionPipeline:
                  depth_fn=None, max_length: int = 30, beam_size: int = 1,
                  length_penalty: float = 0.0, batch_size: int = 64,
                  image_hw=(224, 224), use_pallas: bool = False,
-                 batch_buckets=None):
+                 batch_buckets=None, sample: bool = False,
+                 temperature: float = 1.0, top_k: int = 0,
+                 top_p: float = 1.0, seed: int = 0, devices=None):
         import jax
         from depth_image_captioning_pub_tpu.data.tokenizer import SPECIAL
         from depth_image_captioning_pub_tpu.engine.evaluate import (
@@ -72,13 +90,38 @@ class CaptionPipeline:
         else:
             self.batch_size = int(batch_size)
             self.batch_buckets = (self.batch_size,)
+        # Data-parallel over every visible device (or the given subset),
+        # mirroring the eval engine: replicated params, batch dim sharded,
+        # buckets rounded up to device-divisible sizes. Single-chip hosts
+        # (and --pallas-decode) keep the unsharded path.
+        self._sharding = None
+        devices = list(devices) if devices is not None else jax.devices()
+        if len(devices) > 1 and not use_pallas:
+            from depth_image_captioning_pub_tpu.parallel.mesh import (
+                batch_sharding, make_mesh, pad_batch_to_devices, replicate)
+            mesh = make_mesh(devices)
+            self._sharding = batch_sharding(mesh)
+            self.frozen = replicate(mesh, self.frozen)
+            self.params = replicate(mesh, self.params)
+            self.batch_stats = replicate(mesh, self.batch_stats)
+            self.batch_buckets = tuple(sorted(
+                {pad_batch_to_devices(b, mesh.size)
+                 for b in self.batch_buckets}))
+            self.batch_size = self.batch_buckets[-1]
         self.image_hw = tuple(image_hw)
-        self._rng = jax.random.PRNGKey(0)
+        # sample=True: stochastic decoding (temperature / top-k / nucleus).
+        # Each caption_tokens call advances the key, so repeated calls draw
+        # fresh captions; the sequence is deterministic per ``seed``.
+        # Greedy (the default) ignores the key entirely.
+        self.sample = bool(sample)
+        self._rng = jax.random.PRNGKey(seed)
         self._fn = make_caption_fn(
             cap, start_id=word_to_id[SPECIAL.start], max_length=max_length,
             depth_fn=depth_fn, beam_size=beam_size,
             end_id=word_to_id.get(SPECIAL.end),
-            length_penalty=length_penalty, use_pallas=use_pallas)
+            length_penalty=length_penalty, use_pallas=use_pallas,
+            sampling=({"temperature": temperature, "top_k": top_k,
+                       "top_p": top_p} if sample else None))
 
     # ---- loading ----------------------------------------------------------
     @classmethod
@@ -149,9 +192,16 @@ class CaptionPipeline:
     def caption_tokens(self, arrays: np.ndarray) -> np.ndarray:
         """[N,H,W,3] uint8 -> [N, max_length] int32 token IDs; pads each
         chunk to the smallest ``batch_buckets`` entry that fits (a single
-        bucket — the default — means every call hits one executable)."""
+        bucket — the default — means every call hits one executable).
+
+        Multi-chunk calls are pipelined: ``jax.device_put`` and jit
+        dispatch are async, so chunk i+1's host->device transfer and
+        dispatch start before blocking on chunk i's tokens (same pattern
+        as engine/evaluate.generate_captions — on the bench rig this
+        overlap recovered a ~3x e2e loss, STATUS round-3 item 5)."""
         import jax
         n = arrays.shape[0]
+        pending = []          # (dispatched tokens, valid) one chunk ahead
         rows = []
         for lo in range(0, n, self.batch_size):
             chunk = arrays[lo:lo + self.batch_size]
@@ -160,9 +210,21 @@ class CaptionPipeline:
             if valid < bucket:
                 reps = np.zeros((bucket - valid,), np.int64)
                 chunk = np.concatenate([chunk, chunk[reps]], axis=0)
-            toks = self._fn(self.frozen, self.params, self.batch_stats,
-                            jax.device_put(chunk), self._rng)
-            rows.append(np.asarray(toks)[:valid])
+            key = self._rng
+            if self.sample:  # fresh draws per call, deterministic per seed
+                self._rng, key = jax.random.split(self._rng)
+            dev_chunk = (jax.device_put(np.ascontiguousarray(chunk),
+                                        self._sharding)
+                         if self._sharding is not None
+                         else jax.device_put(chunk))
+            pending.append((self._fn(self.frozen, self.params,
+                                     self.batch_stats, dev_chunk, key),
+                            valid))
+            if len(pending) > 1:
+                toks, v = pending.pop(0)
+                rows.append(np.asarray(toks)[:v])
+        for toks, v in pending:
+            rows.append(np.asarray(toks)[:v])
         return np.concatenate(rows, axis=0)
 
     def __call__(self, images: Union[ImageLike, Sequence[ImageLike]]

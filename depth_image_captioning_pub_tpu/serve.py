@@ -16,6 +16,10 @@ Design points that matter for a TPU service:
   never contend for the TPU.
 * Images arrive as raw JPEG/PNG bytes (``POST /caption``) and are decoded
   on the host exactly like the eval pipeline decodes files.
+* On a multi-chip host the pipeline data-parallelizes each micro-batch
+  over every visible chip automatically (replicated params, batch dim
+  sharded, buckets rounded up to chip-divisible sizes — see
+  pipeline.CaptionPipeline); captions are identical to single-chip.
 
 Run:  python -m depth_image_captioning_pub_tpu.serve --kind base-soft \
           [--port 8000] [--beam 5] [--batch-size 16]
@@ -187,13 +191,21 @@ def main(argv=None) -> int:
     p.add_argument("--batch-buckets", default=None,
                    help="comma list, e.g. 1,4,16 (overrides --batch-size)")
     p.add_argument("--batch-window-ms", type=float, default=2.0)
+    p.add_argument("--sample", action="store_true",
+                   help="stochastic decoding instead of greedy")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     buckets = ([int(b) for b in args.batch_buckets.split(",")]
                if args.batch_buckets else None)
     pipe = CaptionPipeline.from_experiment(
         args.kind, args.use_data, set_idx=args.set_idx,
         beam_size=args.beam, batch_size=args.batch_size,
-        batch_buckets=buckets)
+        batch_buckets=buckets, sample=args.sample,
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+        seed=args.seed)
     httpd = serve(pipe, args.host, args.port, args.batch_window_ms)
     print(f"serving {args.kind} on http://{args.host}:{args.port}")
     try:

@@ -54,6 +54,26 @@ def test_arrays_padding_and_single(coco_tree):  # noqa: F811
     assert isinstance(pipe(small), str)
 
 
+def test_sampling_pipeline(coco_tree):  # noqa: F811
+    """sample=True: top_k=1 reproduces greedy exactly; a fixed seed gives a
+    reproducible sequence of draws; each call advances the key."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, (3, 224, 224, 3), dtype=np.uint8)
+
+    greedy = _tiny_pipeline(batch_size=4)(list(imgs))
+    topk1 = _tiny_pipeline(batch_size=4, sample=True, top_k=1)(list(imgs))
+    assert topk1 == greedy
+
+    a = _tiny_pipeline(batch_size=4, sample=True, temperature=1.5, seed=7)
+    b = _tiny_pipeline(batch_size=4, sample=True, temperature=1.5, seed=7)
+    first_a = a(list(imgs))
+    assert first_a == b(list(imgs))      # same seed, same draws
+    k0 = np.asarray(a._rng).copy()
+    a(list(imgs))
+    assert not np.array_equal(np.asarray(a._rng), k0)  # key advanced
+
+
 def test_path_and_array_mix(coco_tree):  # noqa: F811
     pipe = _tiny_pipeline(batch_size=2)
     val = coco_tree / "dataset" / "coco2014" / "val2014"
@@ -112,12 +132,34 @@ def test_depth_pipeline_direct(coco_tree):  # noqa: F811
                         w2i, i2w)
 
 
+def test_pipeline_sharded_equals_single(coco_tree):  # noqa: F811
+    """On a multi-device host the pipeline auto-shards the batch dim over
+    the mesh (replicated params, GSPMD split); captions must equal the
+    single-device pipeline's, and buckets round up to device-divisible
+    sizes."""
+    import jax
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 255, (5, 224, 224, 3), dtype=np.uint8)
+    single = _tiny_pipeline(batch_size=4, devices=jax.devices()[:1])
+    sharded = _tiny_pipeline(batch_size=4)          # all devices
+    assert single._sharding is None
+    assert sharded._sharding is not None
+    assert sharded.batch_size % jax.device_count() == 0
+    assert sharded(list(imgs)) == single(list(imgs))
+
+
 def test_batch_buckets(coco_tree):  # noqa: F811
-    """Bucketed padding: same captions, smallest-fitting compiled shape."""
+    """Bucketed padding: same captions, smallest-fitting compiled shape.
+    Pinned to one device — on a mesh the buckets are rounded up to
+    device-divisible sizes (test_pipeline_sharded_equals_single)."""
+    import jax
+    one = jax.devices()[:1]
     rng = np.random.default_rng(1)
     imgs = rng.integers(0, 255, (5, 224, 224, 3), dtype=np.uint8)
-    flat = _tiny_pipeline(batch_size=4)
-    bucketed = _tiny_pipeline(batch_buckets=(1, 2, 4))
+    flat = _tiny_pipeline(batch_size=4, devices=one)
+    bucketed = _tiny_pipeline(batch_buckets=(1, 2, 4), devices=one)
     assert bucketed.batch_size == 4
 
     seen = []
@@ -135,4 +177,4 @@ def test_batch_buckets(coco_tree):  # noqa: F811
     assert seen == [1]             # a lone request is not padded to 4
 
     with pytest.raises(ValueError):
-        _tiny_pipeline(batch_buckets=(0, 2))
+        _tiny_pipeline(batch_buckets=(0, 2), devices=one)

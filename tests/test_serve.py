@@ -80,6 +80,38 @@ def test_caption_endpoint_and_microbatching(server):
     assert health["ok"] and health["images_served"] >= 3
 
 
+def test_main_threads_sampling_flags(monkeypatch):
+    """`dcap-serve --sample --temperature … --top-k … --top-p … --seed …`
+    reaches CaptionPipeline.from_experiment verbatim (the flag-threading
+    layer, per the CLI-coverage rule; no model is built)."""
+    import depth_image_captioning_pub_tpu.serve as serve_mod
+
+    seen = {}
+
+    def fake_from_experiment(kind, use_data, **kw):
+        seen.update(kind=kind, use_data=use_data, **kw)
+        return object()
+
+    class FakeHTTPD:
+        def serve_forever(self):
+            raise KeyboardInterrupt  # exit main() immediately
+        service = type("S", (), {"stop": staticmethod(lambda: None)})()
+
+    # main() imports CaptionPipeline from the pipeline module at call time
+    monkeypatch.setattr(
+        "depth_image_captioning_pub_tpu.pipeline.CaptionPipeline."
+        "from_experiment", staticmethod(fake_from_experiment))
+    monkeypatch.setattr(serve_mod, "serve", lambda *a, **k: FakeHTTPD())
+    rc = serve_mod.main(["--kind", "base-soft", "--sample",
+                         "--temperature", "1.5", "--top-k", "7",
+                         "--top-p", "0.9", "--seed", "11",
+                         "--batch-buckets", "1,4"])
+    assert rc == 0
+    assert seen["sample"] is True and seen["temperature"] == 1.5
+    assert seen["top_k"] == 7 and seen["top_p"] == 0.9 and seen["seed"] == 11
+    assert seen["batch_buckets"] == [1, 4]
+
+
 def test_bad_requests(server):
     httpd, _ = server
     port = httpd.server_address[1]
