@@ -101,8 +101,79 @@ def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
     return m
 
 
+# For the exact-2x case (every upsample in the fusion decoder and the head)
+# the interp matrix has closed two-tap structure, so the matmul can be
+# replaced by shifts + broadcasts + an interleave — O(1) FLOPs per output
+# element instead of O(n), no gathers (the measured-slow alternative above),
+# and every op is XLA-fusible elementwise/layout work. Derivation: with
+# scale = (n-1)/(2n-1), output row 2m lands at m - m/(2n-1) (blend of input
+# rows m-1, m with weight m/(2n-1) on m-1) and row 2m+1 at m + (n-1-m)/(2n-1)
+# (blend of m, m+1 with weight (n-1-m)/(2n-1) on m+1). Out-of-range taps get
+# weight exactly 0 (edge-padded operands); weights are read bit-identically
+# out of _interp_matrix, so the two forms agree to FMA rounding (pinned at
+# a few f32 ulps, tests/test_dpt.py) and produce IDENTICAL greedy tokens on
+# the bf16 TPU pipeline (measured 100.0000% agreement).
+#
+# MEASURED NEGATIVE (v5e, depth-soft in-pipeline A/B, batch 64, 3
+# interleaved reps, tools/ab_two_tap_resize.py): two-tap 245 caps/s vs
+# matmul 300 caps/s = 0.82x — 18% SLOWER end to end. The stack+reshape
+# row/column interleave is expensive sublane/lane shuffling on TPU, while
+# the "wasteful" dense interp matmuls ride the MXU, which has idle cycles
+# here anyway. Same lesson as the gather+lerp negative above: on TPU,
+# avoiding FLOPs the MXU would have absorbed buys nothing and pays layout
+# cost. Kept as a tested opt-in; the matmul form stays the default.
+UPSAMPLE2X_TWO_TAP = False
+
+
+@functools.lru_cache(maxsize=None)
+def _two_tap_weights(n: int):
+    """Per-row tap weights for the x2 upsample, read straight out of
+    ``_interp_matrix(n, 2n)`` so the two forms use BIT-IDENTICAL f32
+    weights. Returns (w_even_prev, w_even_self, w_odd_self, w_odd_next):
+    even output 2m = w_even_prev[m]*X[m-1] + w_even_self[m]*X[m];
+    odd output 2m+1 = w_odd_self[m]*X[m] + w_odd_next[m]*X[m+1]
+    (out-of-range taps carry weight exactly 0)."""
+    mat = _interp_matrix(n, 2 * n)
+    idx = np.arange(n)
+    w_even_prev = mat[2 * idx, np.maximum(idx - 1, 0)].copy()
+    w_even_prev[0] = 0.0                       # X[-1] tap doesn't exist
+    w_even_self = mat[2 * idx, idx].copy()
+    w_odd_self = mat[2 * idx + 1, idx].copy()
+    w_odd_next = mat[2 * idx + 1, np.minimum(idx + 1, n - 1)].copy()
+    w_odd_next[n - 1] = 0.0                    # X[n] tap doesn't exist
+    # sanity: the 4 extracted taps account for every nonzero matrix entry
+    assert abs(w_even_prev.sum() + w_even_self.sum() + w_odd_self.sum()
+               + w_odd_next.sum() - 2 * n) < 1e-4
+    return w_even_prev, w_even_self, w_odd_self, w_odd_next
+
+
+def _upsample2x_axis(x: jax.Array, axis: int) -> jax.Array:
+    """Size n -> 2n along ``axis``, bilinear align_corners=True, two-tap."""
+    n = x.shape[axis]
+    wep, wes, wos, won = _two_tap_weights(n)
+    shape = [1] * x.ndim
+    shape[axis] = n
+
+    def w(v):
+        return jnp.asarray(v.reshape(shape), dtype=x.dtype)
+
+    def tk(sl):
+        ix = [slice(None)] * x.ndim
+        ix[axis] = sl
+        return x[tuple(ix)]
+
+    xm1 = jnp.concatenate([tk(slice(0, 1)), tk(slice(0, n - 1))], axis=axis)
+    xp1 = jnp.concatenate([tk(slice(1, n)), tk(slice(n - 1, n))], axis=axis)
+    even = w(wep) * xm1 + w(wes) * x
+    odd = w(wos) * x + w(won) * xp1
+    out = jnp.stack([even, odd], axis=axis + 1)
+    return out.reshape(x.shape[:axis] + (2 * n,) + x.shape[axis + 1:])
+
+
 def resize_align_corners(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     """[B, H, W, C] -> [B, h, w, C], bilinear, align_corners=True."""
+    if (UPSAMPLE2X_TWO_TAP and out_hw == (2 * x.shape[1], 2 * x.shape[2])):
+        return _upsample2x_axis(_upsample2x_axis(x, 1), 2)
     mh = jnp.asarray(_interp_matrix(x.shape[1], out_hw[0]), dtype=x.dtype)
     mw = jnp.asarray(_interp_matrix(x.shape[2], out_hw[1]), dtype=x.dtype)
     x = jnp.einsum("oh,bhwc->bowc", mh, x, preferred_element_type=x.dtype)

@@ -21,6 +21,51 @@ def test_resize_align_corners_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5)
 
 
+def test_upsample2x_two_tap_equals_matmul_form():
+    """The closed-form two-tap x2 upsample (UPSAMPLE2X_TWO_TAP) computes
+    the interp-matmul form's only-nonzero terms with bit-identical weights
+    (checked exactly against _interp_matrix), so in f32 the two forms can
+    differ only by the dot kernel's FMA rounding — pinned at a few f32
+    ulps — and must match torch F.interpolate to the looser kernel-
+    precision bound. Local rng: order-independent inputs."""
+    from depth_image_captioning_pub_tpu.models import dpt
+
+    rng = np.random.default_rng(42)
+    for (h, w, c) in [(12, 12, 5), (7, 9, 3), (1, 4, 2), (24, 24, 8),
+                      (96, 48, 1)]:
+        # tap weights account for the full interp matrix, bit-exactly
+        for n in (h, w):
+            wep, wes, wos, won = dpt._two_tap_weights(n)
+            mat = dpt._interp_matrix(n, 2 * n)
+            rec = np.zeros_like(mat)
+            idx = np.arange(n)
+            rec[2 * idx, np.maximum(idx - 1, 0)] += wep
+            rec[2 * idx, idx] += wes
+            rec[2 * idx + 1, idx] += wos
+            rec[2 * idx + 1, np.minimum(idx + 1, n - 1)] += won
+            np.testing.assert_array_equal(rec, mat)
+
+        x = rng.standard_normal((2, h, w, c)).astype(np.float32)
+        two_tap = np.asarray(
+            dpt._upsample2x_axis(dpt._upsample2x_axis(jnp.asarray(x), 1), 2))
+        mh = jnp.asarray(dpt._interp_matrix(h, 2 * h))
+        mw = jnp.asarray(dpt._interp_matrix(w, 2 * w))
+        mat = jnp.einsum("oh,bhwc->bowc", mh, jnp.asarray(x))
+        mat = np.asarray(jnp.einsum("pw,bowc->bopc", mw, mat))
+        tol = dict(rtol=0, atol=4 * np.spacing(np.abs(mat).max()))
+        np.testing.assert_allclose(two_tap, mat, **tol)
+
+        tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+        expected = torch.nn.functional.interpolate(
+            tx, scale_factor=2, mode="bilinear",
+            align_corners=True).permute(0, 2, 3, 1).numpy()
+        # torch evaluates the 2-D 4-tap blend in one pass and computes the
+        # source positions at kernel precision (our weights follow the
+        # f64-exact formula), so the bound is looser — same deviation the
+        # matmul form has vs torch at these sizes
+        np.testing.assert_allclose(two_tap, expected, rtol=0, atol=2e-5)
+
+
 def test_std_conv_matches_torch(rng):
     """Weight-standardized conv == timm StdConv2dSame restated in torch."""
     from depth_image_captioning_pub_tpu.models.dpt import StdConv
