@@ -45,35 +45,44 @@ def _load_vocabs(w2i_path, i2w_path):
 
 def score_mode(atten: str, use_data: str, cfg: ConfigEval, kind_prefix="base",
                depth=False, depth_fn=None, dpt_variables=None, num_sets=3,
-               beam_size=1, use_pallas=False, depth_eval_cache=True) -> int:
+               beam_size=1, use_pallas=False, depth_eval_cache=True,
+               encoder="cnn") -> int:
+    """``encoder="mlp"`` (depth only) scores the MLP-depth (mdepth_*)
+    checkpoints — additive: the reference's MLP eval path doesn't exist
+    (its import crashes, SURVEY §4.1). The scores pickle gets an
+    ``mdepth_`` prefix so it never clobbers the CNN-depth scores sharing
+    the same save dir."""
     from depth_image_captioning_pub_tpu.engine.evaluate import evaluate
     w2i_p, i2w_p, anno, index_file, use_ori = eval_data_selection(cfg, use_data)
     word_to_id, id_to_word = _load_vocabs(w2i_p, i2w_p)
-    save_directory, tables = eval_tables(cfg, atten, use_ori, depth)
+    save_directory, tables = eval_tables(cfg, atten, use_ori, depth,
+                                         encoder=encoder)
     ds = CocoCaptions(cfg.val_img_directory, anno)
     if index_file:
         ds = Subset(ds, load_index_file(index_file))
         print(f"subset size : {len(ds)}")
-    kind = f"{'depth' if depth else 'base'}-{atten}"
+    mlp = depth and encoder == "mlp"
+    kind = f"{('mdepth' if mlp else 'depth') if depth else 'base'}-{atten}"
     cap = build_captioner(kind, len(word_to_id), cfg,
                           resnet_layers=resnet_layers_from_env())
 
     def loader(set_idx):
         return load_eval_components(save_directory, tables[set_idx], cap)
 
+    pickle_name = f"{'mdepth_' if mlp else ''}{use_data}_scores.pkl"
     scores = evaluate(kind, use_data, cap, loader, ds, word_to_id,
                       id_to_word, cfg, depth_fn=depth_fn,
                       dpt_variables=dpt_variables, num_sets=num_sets,
                       beam_size=beam_size, use_pallas=use_pallas,
                       depth_eval_cache=depth_eval_cache,
-                      scores_pickle=f"{save_directory}/{use_data}_scores.pkl")
+                      scores_pickle=f"{save_directory}/{pickle_name}")
     print({k: float(np.mean(v)) for k, v in scores.items()})
     return 0
 
 
 def sample_mode(atten: str, pic_name: str, use_data: str, cfg: ConfigEval,
                 depth=False, depth_fn=None, dpt_variables=None,
-                sampling=None, seed=0) -> int:
+                sampling=None, seed=0, encoder="cnn") -> int:
     """Caption + attention-overlay the images of one sample_pic set.
 
     ``sampling`` (new; reference is greedy-only,
@@ -82,6 +91,9 @@ def sample_mode(atten: str, pic_name: str, use_data: str, cfg: ConfigEval,
     (AttentionDecoder.stochastic_sample) — each image gets its own key
     derived from ``seed`` and its position, so re-runs with the same seed
     reproduce the same captions and overlays.
+
+    ``encoder="mlp"`` (depth only) samples the MLP-depth checkpoints;
+    overlays land under <sample_dir>/mdepth_<atten>.
     """
     import jax
     import jax.numpy as jnp
@@ -97,8 +109,10 @@ def sample_mode(atten: str, pic_name: str, use_data: str, cfg: ConfigEval,
     w2i_p = cfg.ori_word_to_id_file if use_ori else cfg.word_to_id_file
     i2w_p = cfg.ori_id_to_word_file if use_ori else cfg.id_to_word_file
     word_to_id, id_to_word = _load_vocabs(w2i_p, i2w_p)
-    save_directory, tables = eval_tables(cfg, atten, use_ori, depth)
-    kind = f"{'depth' if depth else 'base'}-{atten}"
+    save_directory, tables = eval_tables(cfg, atten, use_ori, depth,
+                                         encoder=encoder)
+    mlp = depth and encoder == "mlp"
+    kind = f"{('mdepth' if mlp else 'depth') if depth else 'base'}-{atten}"
     cap = build_captioner(kind, len(word_to_id), cfg,
                           resnet_layers=resnet_layers_from_env())
     frozen_enc, params, stats = load_eval_components(save_directory,
@@ -138,7 +152,8 @@ def sample_mode(atten: str, pic_name: str, use_data: str, cfg: ConfigEval,
         return np.asarray(toks)[0], np.asarray(alphas)[0]
 
     src = cfg.sample_dirs[pic_name]
-    out = os.path.join(src, f"{'depth' if depth else 'base'}_{atten}")
+    out = os.path.join(
+        src, f"{('mdepth' if mlp else 'depth') if depth else 'base'}_{atten}")
     caps = sample_directory(src, out, caption_one, id_to_word)
     for p, c in caps.items():
         print(f"{os.path.basename(p)}: {c}")

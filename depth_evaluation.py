@@ -17,7 +17,9 @@ sets 2-3 reuse set 1's maps bit-exactly instead of re-running the DPT
 (--no-depth-eval-cache restores the reference's recompute-per-set behavior).
 
 Extra flags (new): --dpt-weights PATH (replaces the reference's hardcoded
-/home/shirota/... path, DPT_model.py:23); --no-depth-eval-cache.
+/home/shirota/... path, DPT_model.py:23); --no-depth-eval-cache; --mlp
+(evaluate the MLP-depth mdepth_* checkpoints depth_main's mlp mode trains —
+the reference has no working MLP eval, SURVEY §4.1).
 """
 
 import sys
@@ -38,9 +40,15 @@ def main(argv=None):
     depth_eval_cache = True
     stochastic = False
     temperature, top_k, top_p, seed = 1.0, 0, 1.0, 0
+    encoder = "cnn"
     it = iter(args)
     for a in it:
-        if a == "--dpt-weights":
+        if a == "--mlp":
+            # evaluate the MLP-depth (mdepth_*) checkpoints depth_main's
+            # mlp mode trains — additive: the reference has no working MLP
+            # eval (its import crashes, SURVEY §4.1)
+            encoder = "mlp"
+        elif a == "--dpt-weights":
             cfg.dpt_weights = next(it)
         elif a == "--dpt-size":
             cfg.dpt_image_size = int(next(it))
@@ -83,7 +91,8 @@ def main(argv=None):
                                    depth_fn=depth_fn, dpt_variables=dpt_vars,
                                    num_sets=num_sets, beam_size=beam_size,
                                    use_pallas=use_pallas,
-                                   depth_eval_cache=depth_eval_cache)
+                                   depth_eval_cache=depth_eval_cache,
+                                   encoder=encoder)
     if len(args) == 4 and args[1] == "sample":
         if args[3] not in sample_datas:
             print("input coco or original")
@@ -92,7 +101,8 @@ def main(argv=None):
         return base_cli.sample_mode(args[0], args[2], args[3], cfg,
                                     depth=True, depth_fn=depth_fn,
                                     dpt_variables=dpt_vars,
-                                    sampling=sampling, seed=seed)
+                                    sampling=sampling, seed=seed,
+                                    encoder=encoder)
     print("depth_evaluation.py {soft/hard} {score/sample sample_pic} {useData}")
     return 1
 

@@ -162,9 +162,16 @@ def load_eval_components(save_directory: str, files, captioner,
             params["depth_encoder"] = bundle["params"]
             stats = bundle["batch_stats"]
         else:
-            params["depth_encoder"] = load(dep_path,
-                                           t_params["depth_encoder"],
-                                           tb.depth_mlp_to_flax)
+            # train saves every D_encoder as a {params, batch_stats}
+            # bundle (engine/train.py:376-379); the MLP's stats are just
+            # empty. A bare reference .pth holds only the MLP weights.
+            bundle_t = {"params": t_params["depth_encoder"],
+                        "batch_stats": t_stats}
+            bundle = load(dep_path, bundle_t,
+                          lambda sd: {"params": tb.depth_mlp_to_flax(sd),
+                                      "batch_stats": t_stats})
+            params["depth_encoder"] = bundle["params"]
+            stats = bundle["batch_stats"]
     return frozen_enc, params, stats
 
 
@@ -185,18 +192,28 @@ def eval_data_selection(cfg: ConfigEval, use_data: str
     raise ValueError("input coco or rem_coco or rem_original")
 
 
-def eval_tables(cfg: ConfigEval, atten: str, use_ori: bool, depth: bool
-                ) -> Tuple[str, Dict[int, list]]:
-    """(save_directory, checkpoint-filename table) — config.py:120-179."""
+def eval_tables(cfg: ConfigEval, atten: str, use_ori: bool, depth: bool,
+                encoder: str = "cnn") -> Tuple[str, Dict[int, list]]:
+    """(save_directory, checkpoint-filename table) — config.py:120-179.
+
+    ``encoder="mlp"`` selects the mdepth_* tables (additive — the
+    reference's MLP path has no working eval; ours trains, so it evals):
+    same CNN_depth_* save dirs, mdepth_* checkpoint basenames."""
     if depth:
+        m = encoder == "mlp"
         if atten == "soft":
             return ((cfg.save_directory_Cdep_soft_ori,
+                     cfg.mdepth_soft_ori_parameter_files if m else
                      cfg.depth_soft_ori_parameter_files) if use_ori else
                     (cfg.save_directory_Cdep_soft,
+                     cfg.mdepth_soft_parameter_files if m else
                      cfg.depth_soft_parameter_files))
         return ((cfg.save_directory_Cdep_hard_ori,
+                 cfg.mdepth_hard_ori_parameter_files if m else
                  cfg.depth_hard_ori_parameter_files) if use_ori else
-                (cfg.save_directory_Cdep_hard, cfg.depth_hard_parameter_files))
+                (cfg.save_directory_Cdep_hard,
+                 cfg.mdepth_hard_parameter_files if m else
+                 cfg.depth_hard_parameter_files))
     if atten == "soft":
         return ((cfg.save_directory_soft_ori,
                  cfg.base_soft_ori_parameter_files) if use_ori else

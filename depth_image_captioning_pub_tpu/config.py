@@ -195,3 +195,16 @@ class ConfigEval(ConfigTrain):
         default_factory=lambda: {i + 1: [f"nic_encoder_best{i}.pth",
                                          f"nic_decoder_best{i}.pth"]
                                  for i in range(3)})
+    # MLP-depth tables (additive: the reference imports its MD_ classes but
+    # has no eval tables for them — the whole MLP path crashes at import,
+    # SURVEY §4.1. Our depth_main trains them, so eval must load them; the
+    # mdepth_* checkpoints share the CNN_depth_* save dirs, mirroring
+    # engine/train._save_dir_kind.)
+    mdepth_soft_parameter_files: Dict[int, List[str]] = dataclasses.field(
+        default_factory=lambda: _param_files("mdepth_soft", "coco", True))
+    mdepth_soft_ori_parameter_files: Dict[int, List[str]] = dataclasses.field(
+        default_factory=lambda: _param_files("mdepth_soft", "original", True))
+    mdepth_hard_parameter_files: Dict[int, List[str]] = dataclasses.field(
+        default_factory=lambda: _param_files("mdepth_hard", "coco", True))
+    mdepth_hard_ori_parameter_files: Dict[int, List[str]] = dataclasses.field(
+        default_factory=lambda: _param_files("mdepth_hard", "original", True))

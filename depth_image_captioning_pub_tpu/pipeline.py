@@ -141,7 +141,7 @@ class CaptionPipeline:
 
         cfg = cfg or ConfigEval()
         base, atten = (kind.split("-") + ["soft"])[:2]
-        depth = base == "depth"
+        depth = base in ("depth", "mdepth")
         use_ori = use_data == "original"
         w2i_p = cfg.ori_word_to_id_file if use_ori else cfg.word_to_id_file
         word_to_id, id_to_word = load_vocab(w2i_p)
@@ -150,7 +150,9 @@ class CaptionPipeline:
         if kind == "nic":
             save_dir, tables = cfg.save_directory_nic, cfg.nic_parameter_files
         else:
-            save_dir, tables = cli.eval_tables(cfg, atten, use_ori, depth)
+            save_dir, tables = cli.eval_tables(
+                cfg, atten, use_ori, depth,
+                encoder="mlp" if base == "mdepth" else "cnn")
         frozen_enc, params, stats = cli.load_eval_components(
             save_dir, tables[set_idx], cap)
         frozen = {"encoder": frozen_enc}

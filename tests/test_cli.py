@@ -122,14 +122,24 @@ def test_base_main_hard_and_eval(coco_tree):
 
 def test_depth_main_mlp_path(coco_tree):
     """The MLP-depth CLI path (reference: crashes at import,
-    depth_main.py:4; SURVEY §4.1): trains the mdepth-soft config and
-    writes mdepth_* component checkpoints."""
+    depth_main.py:4; SURVEY §4.1): trains the mdepth-soft config, writes
+    mdepth_* component checkpoints, and — closing the loop the reference
+    never could — evaluates them via `depth_evaluation --mlp` (scores
+    pickle with the mdepth_ prefix, no clobber of the CNN-depth scores
+    sharing the dir)."""
     import depth_main
+    import depth_evaluation
     assert depth_main.main(["soft", "mlp", "coco", "--epochs", "1",
                             "--exp-time", "1", "--no-depth-cache"]) == 0
     d = coco_tree / "exp_result" / "CNN_depth_soft"
     assert (d / "mdepth_soft_decoder_best_coco0.pth.msgpack").exists()
     assert (d / "mdepth_soft_D_encoder_best_coco0.pth.msgpack").exists()
+
+    assert depth_evaluation.main(["soft", "score", "coco", "--mlp",
+                                  "--num-sets", "1"]) == 0
+    with open(d / "mdepth_coco_scores.pkl", "rb") as f:
+        scores = pickle.load(f)
+    assert len(scores["CIDEr"]) == 1
 
 
 def test_depth_main_rejects_bad_args():

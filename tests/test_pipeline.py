@@ -105,6 +105,21 @@ def test_from_experiment_roundtrip(coco_tree):  # noqa: F811
     assert len(caps_beam) == 3
 
 
+def test_mdepth_from_experiment(coco_tree):  # noqa: F811
+    """mdepth-soft loads through from_experiment (mlp eval tables) and
+    captions — the programmatic side of the `--mlp` eval path."""
+    import depth_main
+    from depth_image_captioning_pub_tpu.pipeline import CaptionPipeline
+
+    d = coco_tree / "exp_result" / "CNN_depth_soft"
+    if not (d / "mdepth_soft_decoder_best_coco0.pth.msgpack").exists():
+        assert depth_main.main(["soft", "mlp", "coco", "--epochs", "1",
+                                "--exp-time", "1", "--no-depth-cache"]) == 0
+    pipe = CaptionPipeline.from_experiment("mdepth-soft", batch_size=2)
+    caps = pipe(np.zeros((2, 224, 224, 3), np.uint8))
+    assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
+
+
 def test_depth_pipeline_direct(coco_tree):  # noqa: F811
     """depth-soft through the pipeline: DPT -> depth CNN -> add-fusion."""
     import jax
