@@ -20,6 +20,10 @@ Design points that matter for a TPU service:
   over every visible chip automatically (replicated params, batch dim
   sharded, buckets rounded up to chip-divisible sizes — see
   pipeline.CaptionPipeline); captions are identical to single-chip.
+* Observability built in: ``GET /metrics`` reports rolling-window request
+  latency and device-call percentiles (p50/p90/p99/mean), the micro-batch
+  size histogram, counters, and queue depth; ``GET /healthz`` stays a
+  cheap liveness probe.
 
 Run:  python -m depth_image_captioning_pub_tpu.serve --kind base-soft \
           [--port 8000] [--beam 5] [--batch-size 16]
@@ -57,13 +61,22 @@ class CaptionService:
     at most ``batch_window_ms`` for stragglers once the first job arrives.
     """
 
-    def __init__(self, pipeline, batch_window_ms: float = 2.0):
+    def __init__(self, pipeline, batch_window_ms: float = 2.0,
+                 metrics_window: int = 4096):
+        import collections
         self.pipeline = pipeline
         self.batch_window = batch_window_ms / 1000.0
         self.queue: "queue.Queue[_Job]" = queue.Queue()
         self._stop = threading.Event()
         self.batches_run = 0
         self.images_served = 0
+        # observability (GET /metrics): rolling windows of per-request
+        # latency and per-batch device-call time, plus a batch-size
+        # histogram. deque.append is atomic under the GIL; readers
+        # snapshot via list() before computing percentiles.
+        self._req_ms = collections.deque(maxlen=metrics_window)
+        self._batch_ms = collections.deque(maxlen=metrics_window)
+        self._batch_hist: dict = {}
         self.worker = threading.Thread(target=self._run, daemon=True)
         self.worker.start()
 
@@ -83,6 +96,7 @@ class CaptionService:
         return jobs
 
     def _run(self):
+        import time
         from depth_image_captioning_pub_tpu.data.tokenizer import (
             ids_to_caption)
         while not self._stop.is_set():
@@ -95,26 +109,56 @@ class CaptionService:
                 if not jobs:
                     return
             try:
+                t0 = time.monotonic()
                 arrays = np.stack([j.array for j in jobs])
                 toks = self.pipeline.caption_tokens(arrays)
                 for j, row in zip(jobs, toks):
                     j.caption = ids_to_caption(row, self.pipeline.id_to_word)
+                self._batch_ms.append((time.monotonic() - t0) * 1e3)
             except Exception as e:  # pragma: no cover - device failure path
                 for j in jobs:
                     j.error = str(e)
             self.batches_run += 1
             self.images_served += len(jobs)
+            n = len(jobs)
+            self._batch_hist[n] = self._batch_hist.get(n, 0) + 1
             for j in jobs:
                 j.event.set()
 
     def submit(self, array: np.ndarray, timeout: float = 60.0) -> str:
+        import time
+        t0 = time.monotonic()
         job = _Job(array)
         self.queue.put(job)
         if not job.event.wait(timeout):
             raise TimeoutError("caption worker timed out")
         if job.error:
             raise RuntimeError(job.error)
+        self._req_ms.append((time.monotonic() - t0) * 1e3)
         return job.caption
+
+    def metrics(self) -> dict:
+        """Rolling-window serving metrics (GET /metrics): request latency
+        and device-call percentiles over the last ``metrics_window``
+        entries, batch-size histogram, counters, current queue depth."""
+        def pct(window):
+            snap = sorted(window)
+            if not snap:
+                return None
+            q = lambda p: snap[min(len(snap) - 1,    # noqa: E731
+                                   int(p * (len(snap) - 1) + 0.5))]
+            return {"p50_ms": round(q(0.50), 3), "p90_ms": round(q(0.90), 3),
+                    "p99_ms": round(q(0.99), 3),
+                    "mean_ms": round(sum(snap) / len(snap), 3),
+                    "n": len(snap)}
+
+        return {"images_served": self.images_served,
+                "batches_run": self.batches_run,
+                "queue_depth": self.queue.qsize(),
+                "batch_size_hist": {str(k): v for k, v in
+                                    sorted(self._batch_hist.items())},
+                "request_latency": pct(list(self._req_ms)),
+                "device_batch": pct(list(self._batch_ms))}
 
     def stop(self):
         self._stop.set()
@@ -150,8 +194,11 @@ def make_handler(service: CaptionService):
                 self._reply(200, {"ok": True,
                                   "images_served": service.images_served,
                                   "batches_run": service.batches_run})
+            elif self.path == "/metrics":
+                self._reply(200, service.metrics())
             else:
-                self._reply(404, {"error": "GET /healthz or POST /caption"})
+                self._reply(404, {"error": "GET /healthz, GET /metrics or "
+                                           "POST /caption"})
 
         def do_POST(self):
             if self.path != "/caption":

@@ -79,6 +79,21 @@ def test_caption_endpoint_and_microbatching(server):
         health = json.loads(r.read())
     assert health["ok"] and health["images_served"] >= 3
 
+    # metrics endpoint: rolling-window latency/device percentiles,
+    # batch histogram consistent with the counters
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=10) as r:
+        m = json.loads(r.read())
+    assert m["images_served"] == svc.images_served
+    assert sum(m["batch_size_hist"].values()) == m["batches_run"]
+    assert sum(int(k) * v for k, v in m["batch_size_hist"].items()) \
+        == m["images_served"]
+    lat = m["request_latency"]
+    assert lat["n"] >= 3 and 0 < lat["p50_ms"] <= lat["p99_ms"]
+    dev = m["device_batch"]
+    assert dev["n"] == m["batches_run"] and dev["p50_ms"] > 0
+    assert m["queue_depth"] == 0
+
 
 def test_main_threads_sampling_flags(monkeypatch):
     """`dcap-serve --sample --temperature … --top-k … --top-p … --seed …`
