@@ -87,16 +87,26 @@ def bench_kind(kind: str, batch: int, steps: int = 30,
         state, metrics = one(state, i)
         np.asarray(metrics["loss"])
 
-    loss_sum = None
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics = one(state, 100 + i)
-        loss_sum = metrics["loss"] if loss_sum is None \
-            else loss_sum + metrics["loss"]
-    final = float(np.asarray(loss_sum))  # the only host sync = the clock
-    dt = time.perf_counter() - t0
-    assert np.isfinite(final), final
-    return steps * batch / dt
+    def run_window():
+        nonlocal state
+        loss_sum = None
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, metrics = one(state, 100 + i)
+            loss_sum = metrics["loss"] if loss_sum is None \
+                else loss_sum + metrics["loss"]
+        final = float(np.asarray(loss_sum))  # the only host sync = the clock
+        dt = time.perf_counter() - t0
+        assert np.isfinite(final), final
+        return steps * batch / dt
+
+    # best-of windows: the rig can lose the host/tunnel to a co-tenant
+    # mid-bench (bench.stable_rate has the measured incident table)
+    try:
+        from bench import stable_rate
+    except ImportError:  # standalone use outside the repo root
+        return run_window()
+    return stable_rate(run_window, f"train-{kind}")
 
 
 def main():
