@@ -53,10 +53,11 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
     ``beam_size=1`` is the reference's greedy decode (token-ID parity path);
     ``beam_size>1`` switches to batched beam search (requires ``end_id``).
 
-    ``sampling`` (attention models, beam_size 1): a dict of
+    ``sampling`` (beam_size 1, no pallas): a dict of
     {"temperature", "top_k", "top_p"} switches the scan to stochastic
-    decoding (AttentionDecoder.stochastic_sample) — deterministic per the
-    ``rng`` argument; temperature -> 0 or top_k=1 reproduces greedy.
+    decoding (AttentionDecoder.stochastic_sample /
+    NICDecoder.stochastic_sample) — deterministic per the ``rng``
+    argument; temperature -> 0 or top_k=1 reproduces greedy.
     """
     from depth_image_captioning_pub_tpu.models.decoder import AttentionDecoder
     from depth_image_captioning_pub_tpu.models.nic import NICDecoder
@@ -65,10 +66,9 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
 
     if beam_size > 1 and end_id is None:
         raise ValueError("beam search needs end_id (<end> token)")
-    if sampling is not None and (beam_size > 1 or cap.spec.is_nic
-                                 or use_pallas):
-        raise ValueError("stochastic sampling is a greedy-scan variant for "
-                         "attention models (no beam/NIC/pallas)")
+    if sampling is not None and (beam_size > 1 or use_pallas):
+        raise ValueError("stochastic sampling is a greedy-scan variant "
+                         "(no beam/pallas)")
     encoder_apply = cap.encoder_apply()
     sample_apply = cap.sample_apply()
     depth_encoder_apply = cap.depth_encoder_apply()
@@ -95,6 +95,14 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
                     beam_size=beam_size, max_length=max_length,
                     length_penalty=length_penalty, early_exit=True,
                     method=NICDecoder.beam_sample)
+            elif sampling is not None:
+                tokens = cap.decoder.apply(
+                    {"params": params["decoder"]}, feats, rng,
+                    max_length=max_length,
+                    temperature=sampling.get("temperature", 1.0),
+                    top_k=sampling.get("top_k", 0),
+                    top_p=sampling.get("top_p", 1.0),
+                    method=NICDecoder.stochastic_sample)
             else:
                 tokens = sample_apply(params["decoder"], feats,
                                       max_length=max_length)

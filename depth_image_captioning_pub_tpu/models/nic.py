@@ -99,6 +99,33 @@ class NICDecoder(nn.Module):
         _, tokens = jax.lax.scan(step, (x0, h, c), None, length=max_length)
         return jnp.swapaxes(tokens, 0, 1)
 
+    def stochastic_sample(self, features: jax.Array, rng: jax.Array, *,
+                          max_length: int = 30, temperature: float = 1.0,
+                          top_k: int = 0, top_p: float = 1.0) -> jax.Array:
+        """The greedy scan with ``jax.random.categorical`` over filtered
+        logits (ops/decode.filtered_logits) instead of argmax — the NIC
+        twin of AttentionDecoder.stochastic_sample (new; the reference is
+        greedy-only, nic.py:150-175). Deterministic per ``rng``;
+        temperature -> 0 or top_k=1 reproduces greedy argmax."""
+        from depth_image_captioning_pub_tpu.ops.decode import filtered_logits
+        bsz = features.shape[0]
+        h, c = self._zero_state(bsz)
+        x0 = features.astype(self.dtype)
+
+        def step(carry, t):
+            x, h, c = carry
+            out, h, c = stacked_lstm_step(self.lstm, x, h, c)
+            logits = (out @ self.out_w + self.out_b).astype(jnp.float32)
+            filt = filtered_logits(logits, temperature=temperature,
+                                   top_k=top_k, top_p=top_p)
+            token = jax.random.categorical(
+                jax.random.fold_in(rng, t), filt).astype(jnp.int32)
+            nxt = jnp.take(self.embed, token, axis=0).astype(self.dtype)
+            return (nxt, h, c), token
+
+        _, tokens = jax.lax.scan(step, (x0, h, c), jnp.arange(max_length))
+        return jnp.swapaxes(tokens, 0, 1)
+
     def beam_sample(self, features: jax.Array, end_id: int, *,
                     beam_size: int = 5, max_length: int = 30,
                     length_penalty: float = 0.0, early_exit: bool = False):

@@ -95,3 +95,54 @@ def test_sampling_deterministic_per_key(tiny_decoder_setup):
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
     assert not np.array_equal(np.asarray(a1), np.asarray(b)), \
         "different keys produced identical samples (suspicious)"
+
+
+def test_nic_stochastic_sample():
+    """NICDecoder.stochastic_sample: top_k=1 == greedy; deterministic per
+    key; fresh keys draw differently at high temperature."""
+    from depth_image_captioning_pub_tpu.models.nic import NICDecoder
+
+    dec = NICDecoder(vocab_size=24, dim_embedding=16, dim_hidden=12)
+    feats = jnp.asarray(np.random.default_rng(0).normal(0, 1, (4, 16)),
+                        jnp.float32)
+    params = dec.init(jax.random.PRNGKey(0), feats,
+                      jnp.zeros((4, 5), jnp.int32))["params"]
+
+    def call(method, *args, **kw):
+        return dec.apply({"params": params}, *args, **kw,
+                         method=getattr(NICDecoder, method))
+
+    greedy = np.asarray(call("greedy_sample", feats, max_length=8))
+    topk1 = np.asarray(call("stochastic_sample", feats,
+                            jax.random.PRNGKey(3), max_length=8, top_k=1))
+    np.testing.assert_array_equal(greedy, topk1)
+
+    a1 = np.asarray(call("stochastic_sample", feats, jax.random.PRNGKey(5),
+                         max_length=8, temperature=2.0))
+    a2 = np.asarray(call("stochastic_sample", feats, jax.random.PRNGKey(5),
+                         max_length=8, temperature=2.0))
+    b = np.asarray(call("stochastic_sample", feats, jax.random.PRNGKey(6),
+                        max_length=8, temperature=2.0))
+    np.testing.assert_array_equal(a1, a2)
+    assert not np.array_equal(a1, b)
+
+
+def test_nic_sampling_through_caption_fn():
+    """make_caption_fn(sampling=...) supports NIC: top_k=1 tokens equal
+    the greedy caption fn's tokens end to end."""
+    from depth_image_captioning_pub_tpu.engine.evaluate import make_caption_fn
+
+    cfg = ConfigTrain()
+    cap = build_captioner("nic", 24, cfg, encoder_dtype=jnp.float32,
+                          resnet_layers=(1, 1, 1, 1))
+    params, frozen, stats = cap.init(jax.random.PRNGKey(0),
+                                     image_hw=(64, 64))
+    imgs = jnp.asarray(np.random.default_rng(2).random((3, 64, 64, 3),
+                                                       dtype=np.float32))
+    key = jax.random.PRNGKey(7)
+    greedy_fn = make_caption_fn(cap, start_id=20, max_length=8)
+    samp_fn = make_caption_fn(cap, start_id=20, max_length=8,
+                              sampling={"top_k": 1})
+    np.testing.assert_array_equal(
+        np.asarray(greedy_fn(frozen, params, stats, imgs, key)),
+        np.asarray(samp_fn(frozen, params, stats, imgs, key)))
