@@ -36,6 +36,7 @@ import argparse
 import io
 import json
 import queue
+import signal
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional, Tuple
@@ -108,6 +109,10 @@ class CaptionService:
                 jobs = [j for j in jobs if j is not _SENTINEL]
                 if not jobs:
                     return
+                # the sentinel landed in a batch with real jobs: caption
+                # them, then keep the shutdown signal pending so the
+                # worker still exits once the queue is drained
+                self.queue.put(_SENTINEL)
             try:
                 t0 = time.monotonic()
                 arrays = np.stack([j.array for j in jobs])
@@ -206,6 +211,12 @@ def make_handler(service: CaptionService):
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > MAX_REQUEST_BYTES:
+                    # refuse before reading: an unbounded read would let a
+                    # single oversized POST exhaust host memory
+                    self._reply(413, {"error": f"payload {n} bytes exceeds "
+                                               f"limit {MAX_REQUEST_BYTES}"})
+                    return
                 arr = _decode_bytes(self.rfile.read(n),
                                     service.pipeline.image_hw)
                 caption = service.submit(arr)
@@ -214,6 +225,11 @@ def make_handler(service: CaptionService):
                 self._reply(400, {"error": str(e)})
 
     return Handler
+
+
+# 32 MB comfortably fits any camera JPEG/PNG; a production deployment can
+# still raise it at import time.
+MAX_REQUEST_BYTES = 32 * 1024 * 1024
 
 
 def serve(pipeline, host: str = "127.0.0.1", port: int = 8000,
@@ -255,10 +271,22 @@ def main(argv=None) -> int:
         seed=args.seed)
     httpd = serve(pipe, args.host, args.port, args.batch_window_ms)
     print(f"serving {args.kind} on http://{args.host}:{args.port}")
+
+    # Graceful SIGTERM (pod maintenance / preemptible-VM shutdown — the
+    # serving twin of the train engine's preemption tolerance): stop
+    # accepting, finish in-flight requests, exit 0. shutdown() must run
+    # off the serve_forever thread (it blocks until the loop exits).
+    def _graceful(signum, frame):
+        print("SIGTERM: draining in-flight requests, shutting down")
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
-        httpd.service.stop()
+        pass
+    httpd.service.stop()
+    print("serve: clean exit")
     return 0
 
 

@@ -127,6 +127,54 @@ def test_main_threads_sampling_flags(monkeypatch):
     assert seen["batch_buckets"] == [1, 4]
 
 
+def test_oversized_post_rejected_413(server, monkeypatch):
+    """A POST whose Content-Length exceeds MAX_REQUEST_BYTES is refused
+    BEFORE the body is read (memory-exhaustion guard)."""
+    import urllib.error
+    import depth_image_captioning_pub_tpu.serve as serve_mod
+    httpd, _ = server
+    port = httpd.server_address[1]
+    monkeypatch.setattr(serve_mod, "MAX_REQUEST_BYTES", 1024)
+    try:
+        _post(port, b"x" * 4096)
+        raise AssertionError("oversized POST was accepted")
+    except urllib.error.HTTPError as e:
+        assert e.code == 413
+        assert "exceeds limit" in json.loads(e.read())["error"]
+    # normal-sized requests still work once the limit is back
+    monkeypatch.setattr(serve_mod, "MAX_REQUEST_BYTES", 32 * 1024 * 1024)
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (224, 224, 3), dtype=np.uint8)
+    assert "caption" in _post(port, _jpeg_bytes(img))
+
+
+def test_stop_drains_in_flight_jobs():
+    """CaptionService.stop(): jobs already queued are captioned before the
+    worker exits, even when the shutdown sentinel lands in their batch."""
+    import time
+    from depth_image_captioning_pub_tpu.serve import CaptionService, _Job
+
+    class StubPipeline:
+        batch_size = 8
+        image_hw = (4, 4)
+        id_to_word = {0: "ok", 1: "<end>"}
+
+        def caption_tokens(self, arrays):
+            time.sleep(0.05)  # let the sentinel join the batch
+            return np.zeros((arrays.shape[0], 3), np.int32)
+
+    svc = CaptionService(StubPipeline(), batch_window_ms=100.0)
+    jobs = [_Job(np.zeros((4, 4, 3), np.uint8)) for _ in range(3)]
+    for j in jobs:
+        svc.queue.put(j)
+    svc.stop()                      # sentinel enqueued behind the jobs
+    for j in jobs:
+        assert j.event.wait(5.0)
+        assert j.error is None and j.caption is not None
+    svc.worker.join(timeout=5.0)
+    assert not svc.worker.is_alive()  # sentinel survived the mixed batch
+
+
 def test_bad_requests(server):
     httpd, _ = server
     port = httpd.server_address[1]
