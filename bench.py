@@ -256,10 +256,13 @@ def bench_e2e_tpu(n_images: int = 4000, batch: int = 250):
     w2i, i2w = build_vocab(captions_from_coco_json(ann), [], min_count=1)
 
     # host-only diagnostic: drain the decode+prefetch pipeline, no TPU
-    it = Prefetcher(eval_batches(ds, w2i, batch, pad_to=batch), depth=3)
-    t0 = time.perf_counter()
-    n_host = sum(b.images.shape[0] for b in it)
-    host_rate = n_host / (time.perf_counter() - t0)
+    def run_host():
+        it = Prefetcher(eval_batches(ds, w2i, batch, pad_to=batch), depth=3)
+        t0 = time.perf_counter()
+        n_host = sum(b.images.shape[0] for b in it)
+        return n_host / (time.perf_counter() - t0)
+
+    host_rate = stable_rate(run_host, "e2e-host")
 
     cfg = ConfigEval()
     cap = build_captioner("base-soft", len(w2i), cfg,
@@ -273,12 +276,15 @@ def bench_e2e_tpu(n_images: int = 4000, batch: int = 250):
     np.asarray(fn(frozen, params, stats, jnp.asarray(warm),
                   jax.random.PRNGKey(0)))
 
-    t0 = time.perf_counter()
-    hypos, _refs = generate_captions(fn, frozen, params, stats, ds, w2i,
-                                     i2w, batch)
-    dt = time.perf_counter() - t0
-    assert len(hypos) == n_images
-    return n_images / dt, host_rate
+    def run_e2e():
+        t0 = time.perf_counter()
+        hypos, _refs = generate_captions(fn, frozen, params, stats, ds, w2i,
+                                         i2w, batch)
+        dt = time.perf_counter() - t0
+        assert len(hypos) == n_images
+        return n_images / dt
+
+    return stable_rate(run_e2e, "e2e"), host_rate
 
 
 def bench_train_tpu(kind: str = "base-soft", batch: int = 256,
