@@ -126,6 +126,74 @@ def test_teacher_forcing_logits_and_alphas_match(bridged):
     np.testing.assert_allclose(np.asarray(alphas), exp_alphas, atol=2e-5)
 
 
+def test_train_loss_and_gradients_match_torch_twin(bridged):
+    """The COMPLETE training objective — teacher-forced forward + masked CE
+    (the reference's pack_padded semantics) + the 0.7 doubly-stochastic
+    penalty — and its PARAMETER GRADIENTS match the torch twin under
+    autograd, on the same bridged weights and batch. Token parity pins the
+    inference forward and test_train_smoke pins the CE function alone;
+    this pins the composed training math at the gradient level
+    (reference: base_train.py:134-167). Torch gradients are mapped to
+    flax shapes through the same bridge as the weights (pure per-tensor
+    transposes, so it is also the correct gradient map)."""
+    import torch.nn.functional as F
+    from depth_image_captioning_pub_tpu.engine.losses import caption_loss
+    from depth_image_captioning_pub_tpu.utils.torch_bridge import (
+        attention_decoder_to_flax)
+
+    tdec, jdec, params = bridged
+    rng = np.random.default_rng(11)
+    B, L = 5, 9
+    feats_np = rng.standard_normal((B, K, D_ENC)).astype(np.float32)
+    caps_np = rng.integers(1, VOCAB, (B, L)).astype(np.int64)
+    caps_np[:, 0] = 3                                  # <start> column
+    lengths_np = np.array([9, 7, 5, 4, 2], np.int32)   # incl. min length 2
+
+    # ---- torch: grad-enabled restatement of the reference train forward
+    tdec.zero_grad()
+    feats_t = torch.from_numpy(feats_np)
+    caps_t = torch.from_numpy(caps_np)
+    h, c = tdec.init_linear(feats_t.mean(dim=1)).chunk(2, dim=1)
+    emb = tdec.embed(caps_t)
+    logits, alphas = [], []
+    for t in range(L - 1):
+        ctx, alpha = tdec.attention(feats_t, h)
+        gate = torch.sigmoid(tdec.f_beta(h))
+        x = torch.cat([emb[:, t], gate * ctx], dim=1)
+        h, c = tdec.decode_step(x, (h, c))
+        logits.append(tdec.linear(h))
+        alphas.append(alpha)
+    tl, ta = torch.stack(logits, 1), torch.stack(alphas, 1)
+    tmask = (torch.arange(L - 1)[None]
+             < torch.from_numpy(lengths_np)[:, None] - 1)
+    nll = F.cross_entropy(tl.reshape(-1, VOCAB), caps_t[:, 1:].reshape(-1),
+                          reduction="none").reshape(B, L - 1)
+    loss_t = (nll * tmask).sum() / tmask.sum()         # packed-CE mean
+    ta = ta * tmask[..., None]                         # padded steps: zero
+    loss_t = loss_t + 0.7 * ((1.0 - ta.sum(dim=1)) ** 2).mean()
+    loss_t.backward()
+    grads_exp = attention_decoder_to_flax(
+        {k: p.grad.detach().numpy() for k, p in tdec.named_parameters()})
+
+    # ---- jax: the engine's actual objective on the same weights
+    def loss_fn(p):
+        lj, aj = jdec.apply({"params": p}, jnp.asarray(feats_np),
+                            jnp.asarray(caps_np.astype(np.int32)),
+                            train=False, rng=jax.random.PRNGKey(0))
+        loss, _ = caption_loss(lj, jnp.asarray(caps_np.astype(np.int32)),
+                               jnp.asarray(lengths_np), aj, alpha_reg=0.7)
+        return loss
+
+    loss_j, grads_j = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
+                               rtol=3e-6, atol=3e-6)
+    assert set(grads_exp) == set(grads_j)
+    for name in grads_exp:
+        np.testing.assert_allclose(np.asarray(grads_j[name]),
+                                   grads_exp[name], rtol=2e-4, atol=2e-5,
+                                   err_msg=name)
+
+
 def test_depth_add_fusion_token_ids_match(bridged):
     """CD_* decoders differ from base only by features.add(depth_features)
     before everything (reference depth_models.py:163): a fusion='add'
