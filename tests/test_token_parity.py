@@ -281,3 +281,60 @@ def test_nic_greedy_token_ids_match():
     got = jdec.apply({"params": params}, jnp.asarray(feats), max_length=20,
                      method=jdec.greedy_sample)
     np.testing.assert_array_equal(np.asarray(got), expected)
+
+
+def test_nic_train_loss_and_gradients_match_torch_twin():
+    """NIC training objective + gradients vs the torch twin (same pattern
+    as the attention twin above): step 0 consumes the image embedding and
+    predicts <start>, then shifted tokens, CE over un-shifted lengths
+    (reference: nic.py:102-118, :282-285)."""
+    import torch.nn.functional as F
+    from depth_image_captioning_pub_tpu.engine.losses import nic_loss
+    from depth_image_captioning_pub_tpu.models.nic import NICDecoder
+    from depth_image_captioning_pub_tpu.utils.torch_bridge import (
+        nic_decoder_to_flax)
+
+    torch.manual_seed(2)
+    tdec = TorchNICDecoder().eval()
+    params = jax.tree_util.tree_map(
+        jnp.asarray, nic_decoder_to_flax(_state_dict_np(tdec)))
+    jdec = NICDecoder(vocab_size=VOCAB, dim_embedding=14, dim_hidden=10,
+                      num_layers=2, dropout=0.0, dtype=jnp.float32)
+
+    rng = np.random.default_rng(12)
+    B, L = 4, 7
+    feats_np = rng.standard_normal((B, 14)).astype(np.float32)
+    caps_np = rng.integers(1, VOCAB, (B, L)).astype(np.int64)
+    lengths_np = np.array([7, 6, 4, 2], np.int32)
+
+    # torch: image embed prepended to word embeds, 2-layer LSTM, CE over
+    # the first ``length`` steps of each row
+    tdec.zero_grad()
+    feats_t = torch.from_numpy(feats_np)
+    caps_t = torch.from_numpy(caps_np)
+    xs = torch.cat([feats_t.unsqueeze(1), tdec.embed(caps_t[:, :-1])], dim=1)
+    hiddens, _ = tdec.lstm(xs)
+    tl = tdec.linear(hiddens)                                  # [B, L, V]
+    tmask = torch.arange(L)[None] < torch.from_numpy(lengths_np)[:, None]
+    nll = F.cross_entropy(tl.reshape(-1, VOCAB), caps_t.reshape(-1),
+                          reduction="none").reshape(B, L)
+    loss_t = (nll * tmask).sum() / tmask.sum()
+    loss_t.backward()
+    grads_exp = nic_decoder_to_flax(
+        {k: p.grad.detach().numpy() for k, p in tdec.named_parameters()})
+
+    def loss_fn(p):
+        lj = jdec.apply({"params": p}, jnp.asarray(feats_np),
+                        jnp.asarray(caps_np.astype(np.int32)), train=False)
+        loss, _ = nic_loss(lj, jnp.asarray(caps_np.astype(np.int32)),
+                           jnp.asarray(lengths_np))
+        return loss
+
+    loss_j, grads_j = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
+                               rtol=3e-6, atol=3e-6)
+    assert set(grads_exp) == set(grads_j)
+    for name in grads_exp:
+        np.testing.assert_allclose(np.asarray(grads_j[name]),
+                                   grads_exp[name], rtol=2e-4, atol=2e-5,
+                                   err_msg=name)
