@@ -243,6 +243,85 @@ def test_depth_concat_fusion_token_ids_match():
     np.testing.assert_array_equal(np.asarray(got), expected)
 
 
+def test_hard_attention_train_loss_and_gradients_match_torch_twin(bridged):
+    """Hard-attention TRAINING objective + gradients vs the torch twin
+    with IDENTICAL injected Gumbel draws: alpha = softmax((e+g)/temp)
+    (the Gumbel-softmax relaxation, reference attention.py:132-148), CE
+    only (the 0.7 penalty is soft-only, base_train.py:162 vs :208). The
+    per-step draws are precomputed with the decoder's own key schedule
+    (key_t = split(fold_in(rng, t))[0]) and replayed in torch, isolating
+    the documented RNG-source deviation away from the gradient math.
+    dropout=0.0 so no dropout-mask replication is needed."""
+    import torch.nn.functional as F
+    from depth_image_captioning_pub_tpu.engine.losses import caption_loss
+    from depth_image_captioning_pub_tpu.models.decoder import AttentionDecoder
+    from depth_image_captioning_pub_tpu.utils.torch_bridge import (
+        attention_decoder_to_flax)
+
+    tdec, _, params = bridged
+    jdec = AttentionDecoder(vocab_size=VOCAB, dim_attention=D_ATT,
+                            dim_embedding=D_EMB, dim_encoder=D_ENC,
+                            dim_decoder=D_HID, attention_kind="hard",
+                            dropout=0.0, dtype=jnp.float32)
+
+    rng = np.random.default_rng(13)
+    B, L, temp = 4, 8, 0.73
+    feats_np = rng.standard_normal((B, K, D_ENC)).astype(np.float32)
+    caps_np = rng.integers(1, VOCAB, (B, L)).astype(np.int64)
+    caps_np[:, 0] = 3
+    lengths_np = np.array([8, 6, 4, 3], np.int32)
+    base_key = jax.random.PRNGKey(21)
+    gs = [np.asarray(jax.random.gumbel(
+              jax.random.split(jax.random.fold_in(base_key, t))[0],
+              (B, K), dtype=jnp.float32)) for t in range(L - 1)]
+
+    # ---- torch: same loop as the soft twin, alpha from (e+g)/temp
+    tdec.zero_grad()
+    feats_t = torch.from_numpy(feats_np)
+    caps_t = torch.from_numpy(caps_np)
+    att = tdec.attention
+    h, c = tdec.init_linear(feats_t.mean(dim=1)).chunk(2, dim=1)
+    emb = tdec.embed(caps_t)
+    logits = []
+    for t in range(L - 1):
+        e = att.full_att(torch.relu(
+            att.encoder_att(feats_t)
+            + att.decoder_att(h).unsqueeze(1))).squeeze(2)
+        alpha = ((e + torch.from_numpy(gs[t])) / temp).softmax(dim=1)
+        ctx = (feats_t * alpha.unsqueeze(2)).sum(dim=1)
+        gate = torch.sigmoid(tdec.f_beta(h))
+        x = torch.cat([emb[:, t], gate * ctx], dim=1)
+        h, c = tdec.decode_step(x, (h, c))
+        logits.append(tdec.linear(h))
+    tl = torch.stack(logits, 1)
+    tmask = (torch.arange(L - 1)[None]
+             < torch.from_numpy(lengths_np)[:, None] - 1)
+    nll = F.cross_entropy(tl.reshape(-1, VOCAB), caps_t[:, 1:].reshape(-1),
+                          reduction="none").reshape(B, L - 1)
+    loss_t = (nll * tmask).sum() / tmask.sum()
+    loss_t.backward()
+    grads_exp = attention_decoder_to_flax(
+        {k: p.grad.detach().numpy() for k, p in tdec.named_parameters()})
+
+    # ---- jax: the engine's hard-attention train forward, same key
+    def loss_fn(p):
+        lj, aj = jdec.apply({"params": p}, jnp.asarray(feats_np),
+                            jnp.asarray(caps_np.astype(np.int32)),
+                            train=True, temp=temp, rng=base_key)
+        loss, _ = caption_loss(lj, jnp.asarray(caps_np.astype(np.int32)),
+                               jnp.asarray(lengths_np), aj, alpha_reg=0.0)
+        return loss
+
+    loss_j, grads_j = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
+                               rtol=3e-6, atol=3e-6)
+    assert set(grads_exp) == set(grads_j)
+    for name in grads_exp:
+        np.testing.assert_allclose(np.asarray(grads_j[name]),
+                                   grads_exp[name], rtol=2e-4, atol=2e-5,
+                                   err_msg=name)
+
+
 class TorchNICDecoder(nn.Module):
     """Reference-semantics NIC decoder (nic.py:61-175)."""
 
