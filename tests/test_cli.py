@@ -142,6 +142,42 @@ def test_depth_main_mlp_path(coco_tree):
     assert len(scores["CIDEr"]) == 1
 
 
+def test_depth_main_hard_and_eval(coco_tree):
+    """The depth-HARD CLI path: Gumbel-softmax training + Gumbel-max eval
+    through depth_main/depth_evaluation (reference: depth_train.py:338,
+    depth_evaluation.py:26 — the one depth config test_cli didn't drive
+    end to end)."""
+    import depth_main
+    import depth_evaluation
+    assert depth_main.main(["hard", "cnn", "coco", "--epochs", "1",
+                            "--exp-time", "1", "--no-depth-cache"]) == 0
+    d = coco_tree / "exp_result" / "CNN_depth_hard"
+    assert (d / "depth_hard_decoder_best_coco0.pth.msgpack").exists()
+    assert (d / "depth_hard_D_encoder_best_coco0.pth.msgpack").exists()
+    assert depth_evaluation.main(["hard", "score", "coco",
+                                  "--num-sets", "1"]) == 0
+    assert (d / "coco_scores.pkl").exists()
+
+
+def test_base_hard_sample_mode(coco_tree):
+    """Hard-attention sample mode: Gumbel-max one-hot alphas drive the
+    per-word overlays (reference: base_evaluation.py:171-336 with
+    Hard_sample); the run must produce caption.txt + overlays under
+    base_hard/ and be reproducible run to run (fixed PRNG key)."""
+    import base_main
+    import base_evaluation
+    d = coco_tree / "exp_result" / "base_hard"
+    if not (d / "base_hard_decoder_best_coco0.pth.msgpack").exists():
+        assert base_main.main(["hard", "coco", "--epochs", "1",
+                               "--exp-time", "1"]) == 0
+    assert base_evaluation.main(["hard", "sample", "dog", "coco"]) == 0
+    out = coco_tree / "sample_pic" / "dog" / "base_hard"
+    assert (out / "caption.txt").exists()
+    first = (out / "caption.txt").read_text()
+    assert base_evaluation.main(["hard", "sample", "dog", "coco"]) == 0
+    assert (out / "caption.txt").read_text() == first  # fixed-key draws
+
+
 def test_depth_main_rejects_bad_args():
     import depth_main
     assert depth_main.main(["soft", "cnn", "imagenet"]) == 1
