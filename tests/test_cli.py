@@ -142,6 +142,23 @@ def test_depth_main_mlp_path(coco_tree):
     assert len(scores["CIDEr"]) == 1
 
 
+def test_depth_sample_mode(coco_tree):
+    """Depth sample mode end to end: the frozen DPT feeds the trained
+    depth CNN inside sample_mode's per-image jit, overlays land under
+    depth_soft/ (reference: depth_evaluation.py:196-386)."""
+    import depth_main
+    import depth_evaluation
+    d = coco_tree / "exp_result" / "CNN_depth_soft"
+    if not (d / "depth_soft_decoder_best_coco0.pth.msgpack").exists():
+        assert depth_main.main(["soft", "cnn", "coco", "--epochs", "1",
+                                "--exp-time", "1", "--no-depth-cache"]) == 0
+    assert depth_evaluation.main(["soft", "sample", "dog", "coco"]) == 0
+    out = coco_tree / "sample_pic" / "dog" / "depth_soft"
+    assert (out / "caption.txt").exists()
+    # per-word overlays land in a per-image subdir (visualize.py:55)
+    assert any(p.suffix == ".png" for p in out.rglob("*.png"))
+
+
 def test_depth_main_hard_and_eval(coco_tree):
     """The depth-HARD CLI path: Gumbel-softmax training + Gumbel-max eval
     through depth_main/depth_evaluation (reference: depth_train.py:338,
