@@ -320,9 +320,13 @@ def bench_serve_tpu() -> dict:
 
 
 def bench_torch_cpu(sample: int = 8, repeats: int = 3) -> float:
-    """Reference-shaped torch CPU pipeline: median of `repeats` timed runs
-    over `sample` images (round-1 used one 4-image run; the median over
-    more work keeps vs_baseline stable run-to-run, VERDICT r1 item 7)."""
+    """Reference-shaped torch CPU pipeline: BEST (fastest) of `repeats`
+    timed runs over `sample` images. Best-of matches stable_rate's
+    philosophy and is the conservative choice for vs_baseline: a co-tenant
+    starving the 1-core host slows the denominator and silently INFLATES
+    the ratio (observed: a contended run reported vs_baseline 3691 vs the
+    usual ~1750). Round-1 used one 4-image run; round-2 used the median
+    (VERDICT r1 item 7); best-of supersedes both."""
     import torch
     import torch.nn as nn
 
@@ -407,7 +411,7 @@ def bench_torch_cpu(sample: int = 8, repeats: int = 3) -> float:
             return time.perf_counter() - t0
 
     times = sorted(one_run() for _ in range(repeats))
-    return sample / times[repeats // 2]
+    return sample / times[0]          # fastest run = the honest capability
 
 
 def wait_for_chip(attempts: int = 6, probe_timeout: int = 240,
