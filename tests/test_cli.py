@@ -289,12 +289,10 @@ def test_depth_evaluation_threads_sampling_flags(monkeypatch):
     assert seen["seed"] == 11 and seen["depth"] is True
 
 
-def test_original_dataset_train_and_rem_coco_eval(coco_tree):
-    """The 'original' dataset paths: train with use_data=original, then
-    score with useData=rem_coco (ori vocab + remCOCO anno + 500-index
-    subset; reference: base_evaluation.py:35-47, config.py:110-111)."""
-    import base_main
-    import base_evaluation
+def _ensure_original_fixtures(coco_tree):
+    """Idempotently build the 'original' dataset tree: annos reusing the
+    synthetic coco images, ori vocab pickles, remCOCO anno + 500-index
+    (reference: config.py:110-111)."""
     from depth_image_captioning_pub_tpu.data.vocab import (
         build_vocab, captions_from_coco_json, save_vocab)
     odir = coco_tree / "dataset" / "original_dataset"
@@ -312,11 +310,23 @@ def test_original_dataset_train_and_rem_coco_eval(coco_tree):
         min_count=1)
     save_vocab(w2i, i2w, str(odir / "ori_word_to_id.pkl"),
                str(odir / "ori_id_to_word.pkl"))
-    # rem_coco eval: remCOCO anno over val2014 images + 500-index file
+    # rem_coco eval: remCOCO anno over val2014 images + 500-index file;
+    # rem_original eval: its own anno, no index subset
     shutil.copy(coco_tree / "dataset/coco2014/captions_val2014.json",
                 odir / "remCOCO_original_val_dataset.json")
+    shutil.copy(coco_tree / "dataset/coco2014/captions_val2014.json",
+                odir / "rem_original_val_dataset.json")
     np.save(coco_tree / "data_index" / "remCOCO_500_ori.npy",
             np.array([0, 2], dtype=np.int64))
+
+
+def test_original_dataset_train_and_rem_coco_eval(coco_tree):
+    """The 'original' dataset paths: train with use_data=original, then
+    score with useData=rem_coco (ori vocab + remCOCO anno + 500-index
+    subset; reference: base_evaluation.py:35-47, config.py:110-111)."""
+    import base_main
+    import base_evaluation
+    _ensure_original_fixtures(coco_tree)
 
     # NOTE: the original-train image root is train2014 in ConfigTrain; our
     # original anno reuses those images, so this exercises the real path.
@@ -328,3 +338,24 @@ def test_original_dataset_train_and_rem_coco_eval(coco_tree):
     assert base_evaluation.main(["soft", "score", "rem_coco",
                                  "--num-sets", "1"]) == 0
     assert (d / "rem_coco_scores.pkl").exists()
+
+
+def test_depth_original_train_and_rem_original_eval(coco_tree):
+    """The depth x original combination (the last dataset x model pairing
+    without CLI coverage): depth_main with use_data=original writes into
+    the Cdep ori save dir, and depth_evaluation scores useData=
+    rem_original (ori vocab, rem anno, NO index subset — reference:
+    depth_evaluation.py:88-95, config.py:110-111)."""
+    import depth_main
+    import depth_evaluation
+    _ensure_original_fixtures(coco_tree)
+
+    assert depth_main.main(["soft", "cnn", "original", "--epochs", "1",
+                            "--exp-time", "1", "--no-depth-cache"]) == 0
+    d = coco_tree / "exp_result" / "CNN_depth_soft_ori"
+    assert (d / "depth_soft_decoder_best_original0.pth.msgpack").exists()
+    assert (d / "depth_soft_D_encoder_best_original0.pth.msgpack").exists()
+
+    assert depth_evaluation.main(["soft", "score", "rem_original",
+                                  "--num-sets", "1"]) == 0
+    assert (d / "rem_original_scores.pkl").exists()
