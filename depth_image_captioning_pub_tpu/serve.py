@@ -260,15 +260,22 @@ def main(argv=None) -> int:
     p.add_argument("--top-k", type=int, default=0)
     p.add_argument("--top-p", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--devices", type=int, default=0,
+                   help="serve on the first N chips only (0 = all; the "
+                        "pipeline data-parallelizes over the mesh)")
     args = p.parse_args(argv)
     buckets = ([int(b) for b in args.batch_buckets.split(",")]
                if args.batch_buckets else None)
+    devices = None
+    if args.devices:
+        import jax
+        devices = jax.devices()[:args.devices]
     pipe = CaptionPipeline.from_experiment(
         args.kind, args.use_data, set_idx=args.set_idx,
         beam_size=args.beam, batch_size=args.batch_size,
         batch_buckets=buckets, sample=args.sample,
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
-        seed=args.seed)
+        seed=args.seed, devices=devices)
     httpd = serve(pipe, args.host, args.port, args.batch_window_ms)
     print(f"serving {args.kind} on http://{args.host}:{args.port}")
 

@@ -120,11 +120,13 @@ def test_main_threads_sampling_flags(monkeypatch):
     rc = serve_mod.main(["--kind", "base-soft", "--sample",
                          "--temperature", "1.5", "--top-k", "7",
                          "--top-p", "0.9", "--seed", "11",
-                         "--batch-buckets", "1,4"])
+                         "--batch-buckets", "1,4", "--devices", "2"])
     assert rc == 0
     assert seen["sample"] is True and seen["temperature"] == 1.5
     assert seen["top_k"] == 7 and seen["top_p"] == 0.9 and seen["seed"] == 11
     assert seen["batch_buckets"] == [1, 4]
+    import jax
+    assert seen["devices"] == jax.devices()[:2]
 
 
 def test_oversized_post_rejected_413(server, monkeypatch):
