@@ -46,7 +46,7 @@ def _load_vocabs(w2i_path, i2w_path):
 def score_mode(atten: str, use_data: str, cfg: ConfigEval, kind_prefix="base",
                depth=False, depth_fn=None, dpt_variables=None, num_sets=3,
                beam_size=1, use_pallas=False, depth_eval_cache=True,
-               encoder="cnn") -> int:
+               eval_cache_dir=None, encoder="cnn") -> int:
     """``encoder="mlp"`` (depth only) scores the MLP-depth (mdepth_*)
     checkpoints — additive: the reference's MLP eval path doesn't exist
     (its import crashes, SURVEY §4.1). The scores pickle gets an
@@ -75,6 +75,7 @@ def score_mode(atten: str, use_data: str, cfg: ConfigEval, kind_prefix="base",
                       dpt_variables=dpt_variables, num_sets=num_sets,
                       beam_size=beam_size, use_pallas=use_pallas,
                       depth_eval_cache=depth_eval_cache,
+                      eval_cache_dir=eval_cache_dir,
                       scores_pickle=f"{save_directory}/{pickle_name}")
     print({k: float(np.mean(v)) for k, v in scores.items()})
     return 0
@@ -161,7 +162,7 @@ def sample_mode(atten: str, pic_name: str, use_data: str, cfg: ConfigEval,
 
 
 def nic_mode(cfg: ConfigEval, num_sets=3, beam_size=1,
-             depth_eval_cache=True) -> int:
+             depth_eval_cache=True, eval_cache_dir=None) -> int:
     """NIC scoring (reference: nic.py:360-455)."""
     from depth_image_captioning_pub_tpu.engine.evaluate import evaluate
     word_to_id, id_to_word = _load_vocabs(cfg.word_to_id_file,
@@ -178,6 +179,7 @@ def nic_mode(cfg: ConfigEval, num_sets=3, beam_size=1,
     scores = evaluate("nic", "coco", cap, loader, ds, word_to_id, id_to_word,
                       cfg, num_sets=num_sets, beam_size=beam_size,
                       depth_eval_cache=depth_eval_cache,
+                      eval_cache_dir=eval_cache_dir,
                       scores_pickle=f"{cfg.save_directory_nic}/nic_scores.pkl")
     print({k: float(np.mean(v)) for k, v in scores.items()})
     return 0
@@ -190,6 +192,7 @@ def main(argv=None):
     beam_size = 1
     use_pallas = False
     eval_cache = True
+    eval_cache_dir = os.environ.get("DCAP_EVAL_CACHE_DIR") or None
     stochastic = False
     temperature, top_k, top_p, seed = 1.0, 0, 1.0, 0
     rest = []
@@ -197,6 +200,12 @@ def main(argv=None):
     for a in it:
         if a == "--num-sets":
             num_sets = int(next(it))
+        elif a == "--eval-cache-dir":
+            # persist the frozen-stage outputs to DIR: later invocations
+            # replay them bit-exactly instead of re-decoding/re-encoding
+            # the subset (engine/eval_cache_store.py; also
+            # $DCAP_EVAL_CACHE_DIR)
+            eval_cache_dir = next(it)
         elif a == "--beam":
             beam_size = int(next(it))
         elif a == "--pallas-decode":
@@ -230,7 +239,8 @@ def main(argv=None):
             return 1
         return score_mode(args[0], args[2], cfg, num_sets=num_sets,
                           beam_size=beam_size, use_pallas=use_pallas,
-                          depth_eval_cache=eval_cache)
+                          depth_eval_cache=eval_cache,
+                          eval_cache_dir=eval_cache_dir)
     if len(args) == 4 and args[1] == "sample":
         if args[3] not in sample_datas:
             print("input coco or original")
@@ -239,7 +249,8 @@ def main(argv=None):
                            sampling=sampling, seed=seed)
     if args and args[0] == "nic":
         return nic_mode(cfg, num_sets=num_sets, beam_size=beam_size,
-                        depth_eval_cache=eval_cache)
+                        depth_eval_cache=eval_cache,
+                        eval_cache_dir=eval_cache_dir)
     print("base_evaluation.py {soft/hard} {score/sample sample_pic} {useData}")
     return 1
 

@@ -317,6 +317,7 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
              beam_size: int = 1,
              use_pallas: bool = False,
              depth_eval_cache: bool = True,
+             eval_cache_dir: Optional[str] = None,
              quiet: bool = False) -> Dict[str, List[float]]:
     """Score ``num_sets`` checkpoint sets (reference: base_evaluation.py:
     123-166 accumulates per-metric lists over 3 sets and pickles them).
@@ -337,6 +338,13 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
     the COCO-val-4000 subset needs ~3.2 GB in bf16 + 0.8 GB of maps) —
     over the bound it degrades to the depth-only cache.
     ``--no-eval-cache`` / ``--no-depth-eval-cache`` opt out entirely.
+
+    ``eval_cache_dir`` additionally persists the captured frozen-stage
+    outputs to disk (engine/eval_cache_store.py), keyed by digests of the
+    dataset (paths/sizes/mtimes/captions/batching) and the frozen params +
+    knobs: later INVOCATIONS replay them bit-exactly — no JPEG decode, no
+    ResNet/DPT forward — including ``--num-sets 1`` runs. Any key mismatch
+    silently refills.
     """
     cfg = cfg or ConfigEval()
     start_id = word_to_id[SPECIAL.start]
@@ -357,7 +365,10 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
         mesh = make_mesh()
         sharding = batch_sharding(mesh)
     scores: Dict[str, List[float]] = {k: [] for k in METRIC_KEYS}
-    cache_on = depth_eval_cache and num_sets > 1
+    # the disk cache makes even --num-sets 1 runs cacheable across
+    # invocations, so it turns the machinery on by itself
+    cache_on = depth_eval_cache and (num_sets > 1
+                                     or eval_cache_dir is not None)
     uses_depth = dpt_variables is not None
     set_cache: Optional[Dict] = None
     if cache_on:
@@ -374,6 +385,23 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
     # construction, so depth maps need no equality guard
     depth_cache: Optional[List] = [] if (
         cache_on and uses_depth and set_cache is None) else None
+    # disk persistence (eval_cache_store): key the dataset+batching once;
+    # the model key needs set 1's frozen params, so it's computed in-loop
+    store = dkey = mkey = None
+    if set_cache is not None and eval_cache_dir:
+        from depth_image_captioning_pub_tpu.engine import eval_cache_store
+        pad_to = cfg.batch_size
+        if sharding is not None:
+            from depth_image_captioning_pub_tpu.parallel.mesh import (
+                pad_batch_to_devices)
+            pad_to = pad_batch_to_devices(cfg.batch_size, mesh.size)
+        dkey = eval_cache_store.data_key(dataset, cfg.batch_size, pad_to)
+        if dkey is None:
+            if not quiet:
+                print("eval cache dir: dataset has no fingerprintable "
+                      "image paths; disk persistence off")
+        else:
+            store = eval_cache_store
     enc_ref = None
     for set_idx in range(1, num_sets + 1):
         frozen_enc, params, batch_stats = checkpoint_loader(set_idx)
@@ -382,6 +410,14 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
             if set_cache is not None:
                 enc_ref = jax.tree_util.tree_map(np.asarray, frozen_enc)
                 set_mode = "fill"
+                if store is not None:
+                    mkey = store.model_key(frozen_enc, dpt_variables,
+                                           cap.encoder_dtype, cfg, kind)
+                    loaded = store.load(eval_cache_dir, dkey, mkey,
+                                        sharding=sharding, quiet=quiet)
+                    if loaded is not None:
+                        set_cache.update(loaded)
+                        set_mode = "use"
             elif depth_cache is not None:
                 depth_mode = "fill"
         elif set_cache is not None:
@@ -420,6 +456,8 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
             sharding=sharding, depth_cache=depth_cache,
             depth_cache_mode=depth_mode, set_cache=set_cache,
             set_cache_mode=set_mode)
+        if set_idx == 1 and set_mode == "fill" and store is not None:
+            store.save(eval_cache_dir, dkey, mkey, set_cache, quiet=quiet)
         ref, hypo = load_textfiles(refs, hypos)
         result = score(ref, hypo)
         if not quiet:
