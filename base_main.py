@@ -19,6 +19,8 @@ arms SIGTERM preemption tolerance — a preempt saves mid-epoch and exits
 cleanly)  --resume (continue from the latest full-state checkpoint,
 including a mid-epoch preemption save, on the identical rng trajectory)
 --checkpoint-keep K (retain only the newest K full-state checkpoints)
+--profile DIR [--profile-start N --profile-stop N] (jax.profiler trace of
+train steps [start, stop) into DIR; view with tensorboard/xprof)
 """
 
 import sys
@@ -54,6 +56,15 @@ def _parse_flags(args):
             cfg.checkpoint_keep = int(next(it))
         elif a == "--resume":
             flags["resume"] = True
+        elif a == "--profile":
+            # jax.profiler trace of train steps [profile-start, profile-stop)
+            # into DIR (view with tensorboard/xprof); reference had no
+            # profiling at all (SURVEY.md §5)
+            cfg.profile_dir = next(it)
+        elif a == "--profile-start":
+            cfg.profile_start = int(next(it))
+        elif a == "--profile-stop":
+            cfg.profile_stop = int(next(it))
         else:
             rest.append(a)
     return rest, flags, cfg

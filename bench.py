@@ -150,11 +150,12 @@ def bench_depth_tpu(n_images: int = 512, batch: int = 64):
     encoder, add-fusion soft-attention 30-step greedy scan — timed like
     bench_tpu (staged inputs, fetch-clocked).
 
-    Returns (full_rate, cached_rate): ``cached_rate`` times the SAME
-    caption program fed precomputed depth maps — the program checkpoint
+    Returns (full_rate, cached_rate, tanh_rate): ``cached_rate`` times the
+    SAME caption program fed precomputed depth maps — the program checkpoint
     sets 2-3 of ``depth_evaluation.py score`` run under the depth-eval
     cache (engine/evaluate.py: DPT is frozen, so set 1's maps are reused
-    bit-exactly instead of recomputed per set)."""
+    bit-exactly instead of recomputed per set). ``tanh_rate`` re-times the
+    full pipeline under the --gelu tanh throughput knob."""
     import jax
     import jax.numpy as jnp
     from depth_image_captioning_pub_tpu.config import ConfigEval
@@ -214,7 +215,35 @@ def bench_depth_tpu(n_images: int = 512, batch: int = 64):
         assert np.array_equal(tokens_c, tokens)  # the cache is exact
         return n_batches * batch / dt
 
-    return full_rate, stable_rate(run_cached, "depth-soft-cached")
+    cached_rate = stable_rate(run_cached, "depth-soft-cached")
+
+    # throughput-knob rate: the SAME full pipeline with --gelu tanh
+    # (models/dpt.GELU_APPROXIMATE — tanh-approximate ViT GELU, ~1e-3
+    # activation error; measured ~1.05x in r3). A fresh trace is required
+    # (the knob is read at trace time), so build a second caption fn.
+    from depth_image_captioning_pub_tpu.models import dpt as dpt_mod
+    dpt_mod.GELU_APPROXIMATE = True
+    try:
+        est_t = DPTDepthEstimator(dtype=jnp.bfloat16)
+        fn_t = make_caption_fn(cap, start_id=VOCAB - 4, max_length=MAX_LEN,
+                               depth_fn=est_t.depth_fn())
+        for s in staged:  # compile (params/staged buffers already on device)
+            np.asarray(fn_t(frozen, params, stats, s, key))
+
+        def run_tanh():
+            t0 = time.perf_counter()
+            outs = [fn_t(frozen, params, stats, staged[i % n_stage], key)
+                    for i in range(n_batches)]
+            toks = np.asarray(jnp.concatenate(outs, axis=0))
+            dt = time.perf_counter() - t0
+            assert toks.shape == (n_batches * batch, MAX_LEN)
+            return n_batches * batch / dt
+
+        tanh_rate = stable_rate(run_tanh, "depth-soft-tanh")
+    finally:
+        dpt_mod.GELU_APPROXIMATE = False
+
+    return full_rate, cached_rate, tanh_rate
 
 
 def bench_e2e_tpu(n_images: int = 4000, batch: int = 250):
@@ -462,10 +491,10 @@ def main():
         baseline = None
     ours, ours_cached = bench_tpu()
     try:
-        depth, depth_cached = bench_depth_tpu()
+        depth, depth_cached, depth_tanh = bench_depth_tpu()
     except Exception as e:  # secondary line must not kill the bench
         print(f"depth-soft bench failed: {e}", file=sys.stderr)
-        depth = depth_cached = None
+        depth = depth_cached = depth_tanh = None
     try:
         e2e, host_rate = bench_e2e_tpu()
     except Exception as e:
@@ -500,6 +529,10 @@ def main():
         # depth_evaluation.py run (exact: DPT frozen, images fixed).
         "depth_soft_cached_captions_per_sec":
             round(depth_cached, 2) if depth_cached else None,
+        # The --gelu tanh throughput knob on the same full pipeline
+        # (tanh-approximate ViT GELU; ~1e-3 activation error, PERF.md).
+        "depth_soft_tanh_gelu_captions_per_sec":
+            round(depth_tanh, 2) if depth_tanh else None,
         # Host-in-the-loop eval path: JPEG decode from 480x640 sources +
         # prefetch + transfer + decode + detokenize (bench_e2e_tpu), with
         # the host-only decode pipeline rate as the bound diagnostic.

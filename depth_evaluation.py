@@ -17,7 +17,11 @@ sets 2-3 reuse set 1's maps bit-exactly instead of re-running the DPT
 (--no-depth-eval-cache restores the reference's recompute-per-set behavior).
 
 Extra flags (new): --dpt-weights PATH (replaces the reference's hardcoded
-/home/shirota/... path, DPT_model.py:23); --no-depth-eval-cache; --mlp
+/home/shirota/... path, DPT_model.py:23); --no-depth-eval-cache;
+--eval-cache-dir DIR (persist the frozen-stage outputs: later invocations
+replay ResNet features + DPT maps bit-exactly, engine/eval_cache_store.py);
+--gelu {erf,tanh} (tanh-approximate DPT GELU: +5.4% throughput, PERF.md);
+--mlp
 (evaluate the MLP-depth mdepth_* checkpoints depth_main's mlp mode trains —
 the reference has no working MLP eval, SURVEY §4.1).
 """
@@ -34,10 +38,12 @@ def main(argv=None):
     args = list(sys.argv[1:] if argv is None else argv)
     cfg = ConfigEval()
     rest = []
+    import os
     num_sets = 3
     beam_size = 1
     use_pallas = False
     depth_eval_cache = True
+    eval_cache_dir = os.environ.get("DCAP_EVAL_CACHE_DIR") or None
     stochastic = False
     temperature, top_k, top_p, seed = 1.0, 0, 1.0, 0
     encoder = "cnn"
@@ -52,12 +58,22 @@ def main(argv=None):
             cfg.dpt_weights = next(it)
         elif a == "--dpt-size":
             cfg.dpt_image_size = int(next(it))
+        elif a == "--gelu":
+            # "tanh" swaps the DPT ViT MLPs' exact-erf GELU for the tanh
+            # approximation: measured +5.4% depth-soft throughput (PERF.md)
+            # at ~1e-3 relative activation error; "erf" (default) is parity
+            cfg.dpt_gelu = next(it)
         elif a == "--num-sets":
             num_sets = int(next(it))
         elif a == "--beam":
             beam_size = int(next(it))
         elif a == "--pallas-decode":
             use_pallas = True
+        elif a == "--eval-cache-dir":
+            # persist frozen-stage outputs (ResNet features + DPT maps) to
+            # DIR; later invocations replay them bit-exactly
+            # (engine/eval_cache_store.py; also $DCAP_EVAL_CACHE_DIR)
+            eval_cache_dir = next(it)
         elif a in ("--no-eval-cache", "--no-depth-eval-cache"):
             # recompute every frozen stage (encoder features, DPT maps) per
             # checkpoint set, as the reference does
@@ -92,6 +108,7 @@ def main(argv=None):
                                    num_sets=num_sets, beam_size=beam_size,
                                    use_pallas=use_pallas,
                                    depth_eval_cache=depth_eval_cache,
+                                   eval_cache_dir=eval_cache_dir,
                                    encoder=encoder)
     if len(args) == 4 and args[1] == "sample":
         if args[3] not in sample_datas:

@@ -68,9 +68,17 @@ def make_depth_fn(cfg, dtype=None):
     depth quality)."""
     import jax
     import jax.numpy as jnp
+    from depth_image_captioning_pub_tpu.models import dpt as dpt_mod
     from depth_image_captioning_pub_tpu.models.dpt import (
         DPTDepthEstimator, DPTDepthModel)
 
+    gelu = getattr(cfg, "dpt_gelu", "erf")
+    if gelu not in ("erf", "tanh"):
+        raise ValueError(f"dpt_gelu must be 'erf' or 'tanh', got {gelu!r}")
+    # Module-level knob read at trace time; set before any caption fn that
+    # embeds this DPT is traced. Process-wide by design (one deployment runs
+    # one flavor); the parity default is exact erf.
+    dpt_mod.GELU_APPROXIMATE = gelu == "tanh"
     est = DPTDepthEstimator(dtype=dtype or jnp.bfloat16,
                             image_size=getattr(cfg, "dpt_image_size", 384))
     if os.environ.get("DCAP_TINY_DPT"):  # test/dev hook: shrink DPT

@@ -94,6 +94,11 @@ class ConfigTrain:
     # faster (542 vs 192 depth maps/s on v5e) with no extra input
     # information, but depth values differ slightly from the reference.
     dpt_image_size: int = 384
+    # GELU flavor for the DPT ViT MLPs. "erf" (exact, torch.nn.GELU's
+    # default) reproduces the reference; "tanh" is the measured +5.4%
+    # depth-soft throughput knob (models/dpt.GELU_APPROXIMATE, PERF.md) at
+    # ~1e-3 relative activation error. CLI: --gelu {erf,tanh}.
+    dpt_gelu: str = "erf"
 
     # Host data pipeline (reference: config.py:65 num_workers=4)
     num_workers: int = 4

@@ -264,6 +264,7 @@ def train(kind: str, ext: int, use_data: str = "coco",
         return summary
 
     train_loss = float("nan")
+    profiling = {"on": False}  # trace left open if profile_stop > total steps
     try:
       for epoch in range(start_epoch, epochs):
         # per-epoch rng derivation keeps resumed runs identical to
@@ -292,6 +293,7 @@ def train(kind: str, ext: int, use_data: str = "coco",
             dev_batch = to_device(batch)
             if cfg.profile_dir and host_step == cfg.profile_start:
                 jax.profiler.start_trace(cfg.profile_dir)
+                profiling["on"] = True
             if kind == "nic":
                 state, metrics = step_fn(state, dev_batch, step_rng)
             else:
@@ -299,6 +301,7 @@ def train(kind: str, ext: int, use_data: str = "coco",
             host_step += 1
             if cfg.profile_dir and host_step == cfg.profile_stop:
                 jax.profiler.stop_trace()
+                profiling["on"] = False
             loss_dev = metrics["loss"]
             loss_sum = loss_dev if loss_sum is None else loss_sum + loss_dev
             n_steps += 1
@@ -353,6 +356,10 @@ def train(kind: str, ext: int, use_data: str = "coco",
                 and (epoch + 1) % checkpoint_every == 0:
             ckptr.save(epoch, ckpt_payload(epoch))
     finally:
+        if profiling["on"]:
+            # profile window outran the run (or a preempt landed inside it):
+            # close the trace so the tool dir is still usable
+            jax.profiler.stop_trace()
         if trap:
             signal.signal(signal.SIGTERM, prev_handler)
         if ckptr is not None:

@@ -263,6 +263,10 @@ def main(argv=None) -> int:
     p.add_argument("--devices", type=int, default=0,
                    help="serve on the first N chips only (0 = all; the "
                         "pipeline data-parallelizes over the mesh)")
+    p.add_argument("--gelu", default="erf", choices=("erf", "tanh"),
+                   help="DPT ViT GELU flavor (depth kinds only): tanh = "
+                        "+5.4%% depth-soft throughput, ~1e-3 activation "
+                        "error vs the exact-erf parity default (PERF.md)")
     args = p.parse_args(argv)
     buckets = ([int(b) for b in args.batch_buckets.split(",")]
                if args.batch_buckets else None)
@@ -270,8 +274,13 @@ def main(argv=None) -> int:
     if args.devices:
         import jax
         devices = jax.devices()[:args.devices]
+    cfg = None
+    if args.gelu != "erf":
+        from depth_image_captioning_pub_tpu.config import ConfigEval
+        cfg = ConfigEval()
+        cfg.dpt_gelu = args.gelu
     pipe = CaptionPipeline.from_experiment(
-        args.kind, args.use_data, set_idx=args.set_idx,
+        args.kind, args.use_data, cfg=cfg, set_idx=args.set_idx,
         beam_size=args.beam, batch_size=args.batch_size,
         batch_buckets=buckets, sample=args.sample,
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,

@@ -10,10 +10,11 @@ that don't exist, calls with wrong arity, and leaves the mlp paths as
 
 Optional flags (new): --epochs N  --exp-time N  --resnet-weights PATH
 --grad-accum K  --decoder-dtype {float32|bfloat16}
---dpt-weights PATH  --no-depth-cache
+--dpt-weights PATH  --no-depth-cache  --gelu {erf,tanh} (tanh-approximate
+DPT GELU throughput knob, PERF.md)
 --checkpoint-every N  --resume  --checkpoint-keep K (full-state
 checkpoints + SIGTERM preemption tolerance with exact mid-epoch resume;
-see base_main.py)
+see base_main.py)  --profile DIR [--profile-start N --profile-stop N]
 """
 
 import sys
@@ -48,6 +49,10 @@ def _parse_flags(args):
             flags["cache"] = False
         elif a == "--dpt-size":
             cfg.dpt_image_size = int(next(it))
+        elif a == "--gelu":
+            # tanh-approximate DPT GELU (throughput knob, see PERF.md);
+            # affects only the frozen DPT's depth maps, not the trained model
+            cfg.dpt_gelu = next(it)
         elif a == "--grad-accum":
             cfg.grad_accum = int(next(it))
         elif a == "--decoder-dtype":
@@ -58,6 +63,13 @@ def _parse_flags(args):
             cfg.checkpoint_keep = int(next(it))
         elif a == "--resume":
             flags["resume"] = True
+        elif a == "--profile":
+            # jax.profiler trace of train steps [profile-start, profile-stop)
+            cfg.profile_dir = next(it)
+        elif a == "--profile-start":
+            cfg.profile_start = int(next(it))
+        elif a == "--profile-stop":
+            cfg.profile_stop = int(next(it))
         else:
             rest.append(a)
     return rest, flags, cfg

@@ -289,6 +289,36 @@ def test_depth_evaluation_threads_sampling_flags(monkeypatch):
     assert seen["seed"] == 11 and seen["depth"] is True
 
 
+def test_depth_evaluation_threads_gelu_flag(monkeypatch):
+    """--gelu tanh must reach make_depth_fn via cfg.dpt_gelu (the knob is
+    applied inside make_depth_fn, so cfg threading is the contract)."""
+    import depth_evaluation
+
+    seen = {}
+
+    def fake_make_depth_fn(cfg):
+        seen["gelu"] = cfg.dpt_gelu
+        return ("depth_fn", "dpt_vars")
+
+    monkeypatch.setattr(depth_evaluation, "make_depth_fn",
+                        fake_make_depth_fn)
+    monkeypatch.setattr(depth_evaluation.base_cli, "sample_mode",
+                        lambda *a, **kw: 0)
+    rc = depth_evaluation.main(["soft", "sample", "dog", "coco",
+                                "--gelu", "tanh"])
+    assert rc == 0 and seen["gelu"] == "tanh"
+
+
+def test_depth_main_threads_gelu_flag():
+    """depth_main's --gelu lands on cfg.dpt_gelu (the depth-cache build and
+    train-time DPT read it through make_depth_fn)."""
+    import depth_main
+
+    rest, flags, cfg = depth_main._parse_flags(
+        ["soft", "cnn", "coco", "--gelu", "tanh"])
+    assert rest == ["soft", "cnn", "coco"] and cfg.dpt_gelu == "tanh"
+
+
 def _ensure_original_fixtures(coco_tree):
     """Idempotently build the 'original' dataset tree: annos reusing the
     synthetic coco images, ori vocab pickles, remCOCO anno + 500-index
@@ -359,3 +389,19 @@ def test_depth_original_train_and_rem_original_eval(coco_tree):
     assert depth_evaluation.main(["soft", "score", "rem_original",
                                   "--num-sets", "1"]) == 0
     assert (d / "rem_original_scores.pkl").exists()
+
+
+def test_base_main_profile_trace(coco_tree, tmp_path):
+    """--profile writes a jax.profiler trace of the chosen step window —
+    observability the reference never had (SURVEY.md §5). profile-stop
+    beyond the run's step count must still close the trace (finally guard)."""
+    import base_main
+
+    trace = tmp_path / "trace"
+    assert base_main.main(["soft", "coco", "--epochs", "1",
+                           "--exp-time", "1",
+                           "--profile", str(trace),
+                           "--profile-start", "0",
+                           "--profile-stop", "999"]) == 0
+    produced = [f for f in trace.rglob("*") if f.is_file()]
+    assert produced, "profiler trace directory is empty"

@@ -495,3 +495,38 @@ def test_depth_estimator_pipeline(tiny_dpt):
     assert out.shape == (2, 224, 224, 1)
     vals = np.asarray(out)
     assert vals.min() >= 0.0 and vals.max() <= 1.0 + 1e-6
+
+def test_make_depth_fn_applies_gelu_knob(monkeypatch, tmp_path):
+    """cfg.dpt_gelu drives models.dpt.GELU_APPROXIMATE inside make_depth_fn:
+    tanh maps differ from erf maps (same random weights), and a subsequent
+    erf build restores the parity default."""
+    from depth_image_captioning_pub_tpu import cli
+    from depth_image_captioning_pub_tpu.config import ConfigEval
+    from depth_image_captioning_pub_tpu.models import dpt as dpt_mod
+
+    monkeypatch.setenv("DCAP_TINY_DPT", "1")
+    monkeypatch.chdir(tmp_path)  # no stray exp_result writes
+    imgs = jnp.asarray(np.random.default_rng(0).random(
+        (1, 64, 64, 3), dtype=np.float32))
+    try:
+        cfg = ConfigEval()
+        cfg.dpt_gelu = "tanh"
+        fn, variables = cli.make_depth_fn(cfg)
+        assert dpt_mod.GELU_APPROXIMATE is True
+        tanh_maps = np.asarray(fn(variables, imgs))
+
+        cfg.dpt_gelu = "erf"
+        fn2, variables2 = cli.make_depth_fn(cfg)
+        assert dpt_mod.GELU_APPROXIMATE is False
+        erf_maps = np.asarray(fn2(variables2, imgs))
+
+        # same PRNGKey(0) random init both times -> only the GELU differs
+        assert tanh_maps.shape == erf_maps.shape == (1, 224, 224, 1)
+        assert np.isfinite(tanh_maps).all() and np.isfinite(erf_maps).all()
+        assert not np.array_equal(tanh_maps, erf_maps)
+
+        cfg.dpt_gelu = "bogus"
+        with pytest.raises(ValueError):
+            cli.make_depth_fn(cfg)
+    finally:
+        dpt_mod.GELU_APPROXIMATE = False

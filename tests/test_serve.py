@@ -127,6 +127,33 @@ def test_main_threads_sampling_flags(monkeypatch):
     assert seen["batch_buckets"] == [1, 4]
     import jax
     assert seen["devices"] == jax.devices()[:2]
+    # default: no cfg override built when --gelu is erf
+    assert seen["cfg"] is None
+
+
+def test_main_threads_gelu_flag(monkeypatch):
+    """`dcap-serve --gelu tanh` builds a cfg with dpt_gelu='tanh' for
+    from_experiment (make_depth_fn applies the knob from cfg)."""
+    import depth_image_captioning_pub_tpu.serve as serve_mod
+
+    seen = {}
+
+    def fake_from_experiment(kind, use_data, **kw):
+        seen.update(kind=kind, **kw)
+        return object()
+
+    class FakeHTTPD:
+        def serve_forever(self):
+            raise KeyboardInterrupt
+        service = type("S", (), {"stop": staticmethod(lambda: None)})()
+
+    monkeypatch.setattr(
+        "depth_image_captioning_pub_tpu.pipeline.CaptionPipeline."
+        "from_experiment", staticmethod(fake_from_experiment))
+    monkeypatch.setattr(serve_mod, "serve", lambda *a, **k: FakeHTTPD())
+    rc = serve_mod.main(["--kind", "depth-soft", "--gelu", "tanh"])
+    assert rc == 0
+    assert seen["cfg"] is not None and seen["cfg"].dpt_gelu == "tanh"
 
 
 def test_oversized_post_rejected_413(server, monkeypatch):
