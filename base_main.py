@@ -21,6 +21,11 @@ including a mid-epoch preemption save, on the identical rng trajectory)
 --checkpoint-keep K (retain only the newest K full-state checkpoints)
 --profile DIR [--profile-start N --profile-stop N] (jax.profiler trace of
 train steps [start, stop) into DIR; view with tensorboard/xprof)
+--feature-cache (materialize the frozen encoder's features once per image
+into disk memmaps, then train every epoch from the cache — the frozen
+conv stack never runs in the step; bit-deterministic, online-equivalent
+to FP tolerance, see engine/feature_cache.py. Disk cost: ~66 GB for
+COCO-train grid features in bf16, ~0.3 GB for NIC)
 """
 
 import sys
@@ -35,7 +40,7 @@ DATAS = ("coco", "original")
 
 def _parse_flags(args):
     flags = {"epochs": None, "exp_time": EXP_TIME,
-             "checkpoint_every": 0, "resume": False}
+             "checkpoint_every": 0, "resume": False, "feature_cache": False}
     cfg = ConfigTrain()
     rest = []
     it = iter(args)
@@ -56,6 +61,10 @@ def _parse_flags(args):
             cfg.checkpoint_keep = int(next(it))
         elif a == "--resume":
             flags["resume"] = True
+        elif a == "--feature-cache":
+            # train from precomputed frozen-encoder features (exact; the
+            # reference re-runs its frozen ResNet every epoch)
+            flags["feature_cache"] = True
         elif a == "--profile":
             # jax.profiler trace of train steps [profile-start, profile-stop)
             # into DIR (view with tensorboard/xprof); reference had no
@@ -89,7 +98,8 @@ def main(argv=None):
                         num_epochs=flags["epochs"], resnet_variables=resnet,
                         resnet_layers=resnet_layers_from_env(),
                         checkpoint_every=flags["checkpoint_every"],
-                        resume=flags["resume"])
+                        resume=flags["resume"],
+                        feature_cache=flags["feature_cache"])
             if out.get("preempted"):  # stop cleanly; --resume continues
                 return 0
         return 0
@@ -104,7 +114,8 @@ def main(argv=None):
                         num_epochs=flags["epochs"], resnet_variables=backbone,
                         resnet_layers=resnet_layers_from_env(),
                         checkpoint_every=flags["checkpoint_every"],
-                        resume=flags["resume"])
+                        resume=flags["resume"],
+                        feature_cache=flags["feature_cache"])
             if out.get("preempted"):
                 return 0
         return 0

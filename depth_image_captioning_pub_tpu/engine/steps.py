@@ -69,12 +69,18 @@ def make_attention_train_step(
         alpha_reg: float = 0.0,
         depth_encoder_apply: Optional[Callable] = None,
         donate: bool = True,
-        accum_steps: int = 1) -> Callable:
+        accum_steps: int = 1,
+        features_input: bool = False) -> Callable:
     """Train step for base-soft/base-hard/depth-soft/depth-hard.
 
     ``decoder_apply(params, features, captions, depth_features, train, temp,
     rng)`` must return (logits, alphas). ``depth_encoder_apply(params,
     batch_stats, depth_maps, train)`` returns (depth_features, new_stats).
+
+    ``features_input=True``: the batch carries precomputed frozen features
+    (``batch["features"]``, engine/feature_cache.py) instead of pixels —
+    normalization and the frozen encoder forward are skipped; pass the
+    matching ``encoder_apply(features_input=True)`` variant.
 
     ``accum_steps`` > 1 accumulates gradients over that many microbatches
     inside the same jitted step (a ``lax.scan``), so activation memory
@@ -93,8 +99,11 @@ def make_attention_train_step(
     """
 
     def loss_fn(params, frozen, batch_stats, batch, rng, temp, denoms=None):
-        images = imagenet_normalize(to_unit_float(batch["images"]))
-        features = encoder_apply(frozen["encoder"], images)
+        if features_input:
+            inp = batch["features"]
+        else:
+            inp = imagenet_normalize(to_unit_float(batch["images"]))
+        features = encoder_apply(frozen["encoder"], inp)
         features = jax.lax.stop_gradient(features)
         new_stats = batch_stats
         depth_features = None
@@ -193,7 +202,8 @@ def make_attention_eval_step(
         decoder_apply: Callable,
         alpha_reg: float = 0.0,
         depth_encoder_apply: Optional[Callable] = None,
-        hard_eval_sampling: bool = False) -> Callable:
+        hard_eval_sampling: bool = False,
+        features_input: bool = False) -> Callable:
     """Validation-loss step (teacher forcing, eval mode).
 
     For hard attention the reference's ``eval_forward`` swaps Gumbel-softmax
@@ -203,8 +213,11 @@ def make_attention_eval_step(
     """
 
     def step(state: TrainState, batch, rng):
-        images = imagenet_normalize(to_unit_float(batch["images"]))
-        features = encoder_apply(state.frozen["encoder"], images)
+        if features_input:
+            inp = batch["features"]
+        else:
+            inp = imagenet_normalize(to_unit_float(batch["images"]))
+        features = encoder_apply(state.frozen["encoder"], inp)
         depth_features = None
         if depth_encoder_apply is not None:
             depth_features, _ = depth_encoder_apply(
@@ -225,16 +238,22 @@ def make_attention_eval_step(
 def make_nic_train_step(encoder_apply: Callable, decoder_apply: Callable,
                         optimizer: optax.GradientTransformation,
                         donate: bool = True,
-                        accum_steps: int = 1) -> Callable:
+                        accum_steps: int = 1,
+                        features_input: bool = False) -> Callable:
     """NIC train step: trainable = decoder + encoder projection layer
     (reference: nic.py:243-245). ``encoder_apply(frozen_backbone,
     linear_params, images)`` returns [B, dim_embedding]. ``accum_steps``:
-    see make_attention_train_step."""
+    see make_attention_train_step. ``features_input``: the batch carries
+    cached pooled backbone outputs; only the trainable projection runs in
+    the step (pass ``encoder_apply(features_input=True)``)."""
 
     def loss_fn(params, frozen, batch, rng, denom=None):
-        images = imagenet_normalize(to_unit_float(batch["images"]))
+        if features_input:
+            inp = batch["features"]
+        else:
+            inp = imagenet_normalize(to_unit_float(batch["images"]))
         features = encoder_apply(frozen["encoder"], params["enc_linear"],
-                                 images)
+                                 inp)
         logits = decoder_apply(params["decoder"], features,
                                batch["captions"], train=True, rng=rng)
         return nic_loss(logits, batch["captions"], batch["lengths"],
@@ -274,11 +293,15 @@ def _with_stats(grads_and_metrics, stats):
 
 
 def make_nic_eval_step(encoder_apply: Callable,
-                       decoder_apply: Callable) -> Callable:
+                       decoder_apply: Callable,
+                       features_input: bool = False) -> Callable:
     def step(state: TrainState, batch):
-        images = imagenet_normalize(to_unit_float(batch["images"]))
+        if features_input:
+            inp = batch["features"]
+        else:
+            inp = imagenet_normalize(to_unit_float(batch["images"]))
         features = encoder_apply(state.frozen["encoder"],
-                                 state.params["enc_linear"], images)
+                                 state.params["enc_linear"], inp)
         logits = decoder_apply(state.params["decoder"], features,
                                batch["captions"], train=False, rng=None)
         _, metrics = nic_loss(logits, batch["captions"], batch["lengths"],

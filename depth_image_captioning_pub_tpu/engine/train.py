@@ -81,7 +81,8 @@ def train(kind: str, ext: int, use_data: str = "coco",
           resume: bool = False,
           checkpoint_every: int = 0,
           preempt_save: bool = True,
-          preempt_event: Optional[threading.Event] = None
+          preempt_event: Optional[threading.Event] = None,
+          feature_cache: bool = False
           ) -> Dict[str, float]:
     """Train one configuration; returns summary metrics.
 
@@ -102,6 +103,16 @@ def train(kind: str, ext: int, use_data: str = "coco",
     the identical state trajectory as an uninterrupted one. The reference
     loses the whole run on any interruption (SURVEY.md §5).
     ``preempt_event`` is a test hook equivalent to receiving SIGTERM.
+
+    ``feature_cache=True`` materializes the frozen encoder's outputs once
+    per image (train AND val splits) into digest-keyed disk memmaps under
+    the save directory, then trains every epoch from cached features — the
+    frozen conv stack never runs inside the step (engine/feature_cache.py;
+    the reference re-runs its frozen ResNet-152 every epoch for 150
+    epochs). Features are stored in the encoder's own dtype — the cached
+    trajectory is bit-deterministic and matches the online one to FP
+    tolerance (low bf16 bits reorder between the standalone encode and the
+    GSPMD-fused step; tests/test_feature_cache.py).
     """
     cfg = cfg or ConfigTrain()
     use_ori = use_data == "original"
@@ -134,6 +145,23 @@ def train(kind: str, ext: int, use_data: str = "coco",
     if resnet_variables is not None:
         frozen = dict(frozen, encoder=resnet_variables)
 
+    # frozen-feature cache: one encoder pass per image total, every epoch
+    # trains from the memmaps (digest-keyed per frozen params, so each
+    # ext's random init — or a bridged checkpoint — gets its own files)
+    feature_provider = val_feature_provider = None
+    if feature_cache:
+        from depth_image_captioning_pub_tpu.engine import feature_cache as fc
+        encode_fn = cap.cache_encode_fn()
+        probe = jnp.asarray(np.stack([train_ds.load_image(0)]))
+        sd = jax.eval_shape(encode_fn, frozen["encoder"], probe)
+        fdir = f"{save_directory}/feat_cache"
+        feature_provider = fc.build_or_open(
+            fdir, "train", train_ds, encode_fn, frozen["encoder"],
+            sd.shape[1:], sd.dtype, batch_size=cfg.batch_size, quiet=quiet)
+        val_feature_provider = fc.build_or_open(
+            fdir, "val", val_ds, encode_fn, frozen["encoder"],
+            sd.shape[1:], sd.dtype, batch_size=cfg.batch_size, quiet=quiet)
+
     mesh = make_mesh()
     n_dev = len(mesh.devices.ravel())
     # with grad accumulation each microbatch must still split over devices
@@ -145,20 +173,25 @@ def train(kind: str, ext: int, use_data: str = "coco",
 
     is_hard = "hard" in kind
     alpha_reg = cfg.alpha_reg if (not is_hard and kind != "nic") else 0.0
+    enc_apply = cap.encoder_apply(features_input=feature_cache)
     if kind == "nic":
-        step_fn = make_nic_train_step(cap.encoder_apply(), cap.decoder_apply(),
-                                      opt, accum_steps=cfg.grad_accum)
-        val_fn = make_nic_eval_step(cap.encoder_apply(), cap.decoder_apply())
+        step_fn = make_nic_train_step(enc_apply, cap.decoder_apply(),
+                                      opt, accum_steps=cfg.grad_accum,
+                                      features_input=feature_cache)
+        val_fn = make_nic_eval_step(enc_apply, cap.decoder_apply(),
+                                    features_input=feature_cache)
     else:
         step_fn = make_attention_train_step(
-            cap.encoder_apply(), cap.decoder_apply(), opt,
+            enc_apply, cap.decoder_apply(), opt,
             alpha_reg=alpha_reg,
             depth_encoder_apply=cap.depth_encoder_apply(),
-            accum_steps=cfg.grad_accum)
+            accum_steps=cfg.grad_accum,
+            features_input=feature_cache)
         val_fn = make_attention_eval_step(
-            cap.encoder_apply(), cap.decoder_apply(), alpha_reg=alpha_reg,
+            enc_apply, cap.decoder_apply(), alpha_reg=alpha_reg,
             depth_encoder_apply=cap.depth_encoder_apply(),
-            hard_eval_sampling=is_hard)
+            hard_eval_sampling=is_hard,
+            features_input=feature_cache)
 
     uses_depth = cap.spec.uses_depth
     if uses_depth and depth_provider is None:
@@ -167,9 +200,15 @@ def train(kind: str, ext: int, use_data: str = "coco",
     # val indices address a different dataset
     val_provider = val_depth_provider or depth_provider
 
-    def to_device(batch, provider=depth_provider):
-        arrays = {"images": batch.images, "captions": batch.captions,
+    def to_device(batch, provider=depth_provider, fprov=None):
+        arrays = {"captions": batch.captions,
                   "lengths": batch.lengths, "pad_mask": batch.pad_mask}
+        if fprov is not None:
+            # cached frozen features replace pixels on the device path;
+            # the depth provider below still sees host pixels when online
+            arrays["features"] = fprov(batch.indices)
+        else:
+            arrays["images"] = batch.images
         if uses_depth:
             arrays["depth"] = provider(batch.images, batch.indices)
         return shard_batch(mesh, arrays)
@@ -290,7 +329,7 @@ def train(kind: str, ext: int, use_data: str = "coco",
         it = Prefetcher(batches)
         for batch in it:
             rng, step_rng = jax.random.split(rng)
-            dev_batch = to_device(batch)
+            dev_batch = to_device(batch, fprov=feature_provider)
             if cfg.profile_dir and host_step == cfg.profile_start:
                 jax.profiler.start_trace(cfg.profile_dir)
                 profiling["on"] = True
@@ -323,7 +362,8 @@ def train(kind: str, ext: int, use_data: str = "coco",
             shuffle=False, seed=cfg.seed, epoch=epoch, pad_to=pad_to))
         for batch in itv:
             rng, vrng = jax.random.split(rng)
-            dev_batch = to_device(batch, provider=val_provider)
+            dev_batch = to_device(batch, provider=val_provider,
+                                  fprov=val_feature_provider)
             if kind == "nic":
                 metrics = val_fn(state, dev_batch)
             else:

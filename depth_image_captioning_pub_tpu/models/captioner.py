@@ -197,17 +197,50 @@ class Captioner:
         return trainable, frozen, batch_stats
 
     # ---- apply callables for the engine ------------------------------------
-    def encoder_apply(self) -> Callable:
+    def encoder_apply(self, features_input: bool = False) -> Callable:
+        """``features_input=True`` returns the variant the train-time
+        feature cache feeds (engine/feature_cache.py): the frozen prefix is
+        precomputed per image, so the step receives cached features instead
+        of pixels — identity for attention kinds, projection-only for NIC
+        (whose trainable linear must stay inside the differentiated step;
+        the reference trains exactly encoder.linear, nic.py:243-245)."""
         if self.spec.is_nic:
+            if features_input:
+                def apply(frozen_enc, linear_params, pooled):
+                    return self.projection.apply({"params": linear_params},
+                                                 pooled)
+                return apply
+
             def apply(frozen_enc, linear_params, images):
                 fm = self.backbone.apply(frozen_enc, images)
                 pooled = global_avg_pool(fm)
                 return self.projection.apply({"params": linear_params}, pooled)
             return apply
 
+        if features_input:
+            return lambda frozen_enc, feats: feats
+
         def apply(frozen_enc, images):
             return self.encoder.apply(frozen_enc, images)
         return apply
+
+    def cache_encode_fn(self) -> Callable:
+        """(frozen_enc, uint8_images) -> frozen features, for building the
+        train-time feature cache: exactly the frozen prefix of the train
+        step (on-device normalize + encoder; NIC: backbone + global pool,
+        pre-projection), so cached training replays the identical values."""
+        from depth_image_captioning_pub_tpu.ops.image_ops import (
+            imagenet_normalize, to_unit_float)
+        if self.spec.is_nic:
+            def fn(frozen_enc, images):
+                images = imagenet_normalize(to_unit_float(images))
+                return global_avg_pool(self.backbone.apply(frozen_enc, images))
+            return fn
+
+        def fn(frozen_enc, images):
+            images = imagenet_normalize(to_unit_float(images))
+            return self.encoder.apply(frozen_enc, images)
+        return fn
 
     def decoder_apply(self) -> Callable:
         if self.spec.is_nic:

@@ -15,6 +15,8 @@ DPT GELU throughput knob, PERF.md)
 --checkpoint-every N  --resume  --checkpoint-keep K (full-state
 checkpoints + SIGTERM preemption tolerance with exact mid-epoch resume;
 see base_main.py)  --profile DIR [--profile-start N --profile-stop N]
+--feature-cache (train from precomputed frozen RGB-encoder features; the
+depth-map cache already covers the frozen DPT — see base_main.py)
 """
 
 import sys
@@ -32,7 +34,7 @@ DATAS = ("coco", "original")
 
 def _parse_flags(args):
     flags = {"epochs": None, "exp_time": EXP_TIME, "cache": True,
-             "checkpoint_every": 0, "resume": False}
+             "checkpoint_every": 0, "resume": False, "feature_cache": False}
     cfg = ConfigTrain()
     rest = []
     it = iter(args)
@@ -63,6 +65,10 @@ def _parse_flags(args):
             cfg.checkpoint_keep = int(next(it))
         elif a == "--resume":
             flags["resume"] = True
+        elif a == "--feature-cache":
+            # train from precomputed frozen RGB-encoder features (exact);
+            # complements the depth-map cache, which covers the frozen DPT
+            flags["feature_cache"] = True
         elif a == "--profile":
             # jax.profiler trace of train steps [profile-start, profile-stop)
             cfg.profile_dir = next(it)
@@ -111,7 +117,8 @@ def main(argv=None):
                     num_epochs=flags["epochs"], resnet_variables=resnet,
                     resnet_layers=resnet_layers_from_env(),
                     checkpoint_every=flags["checkpoint_every"],
-                    resume=flags["resume"])
+                    resume=flags["resume"],
+                    feature_cache=flags["feature_cache"])
         if out.get("preempted"):  # stop cleanly; --resume continues
             return 0
     return 0

@@ -54,7 +54,8 @@ def make_batch(batch: int, uses_depth: bool, seed: int = 0):
 
 
 def bench_kind(kind: str, batch: int, steps: int = 30,
-               decoder_dtype=jnp.float32, accum: int = 1) -> float:
+               decoder_dtype=jnp.float32, accum: int = 1,
+               features: bool = False) -> float:
     from depth_image_captioning_pub_tpu.cli import resnet_layers_from_env
     cfg = ConfigTrain()
     cap = build_captioner(kind, VOCAB, cfg,
@@ -63,17 +64,28 @@ def bench_kind(kind: str, batch: int, steps: int = 30,
     params, frozen, stats = cap.init(jax.random.PRNGKey(0))
     opt = make_optimizer(cfg.lr)
     state = TrainState(params, opt.init(params), frozen, stats, jnp.int32(0))
+    enc_apply = cap.encoder_apply(features_input=features)
     if kind == "nic":
-        fn = make_nic_train_step(cap.encoder_apply(), cap.decoder_apply(),
-                                 opt, accum_steps=accum)
+        fn = make_nic_train_step(enc_apply, cap.decoder_apply(),
+                                 opt, accum_steps=accum,
+                                 features_input=features)
     else:
         alpha_reg = cfg.alpha_reg if "soft" in kind else 0.0
         fn = make_attention_train_step(
-            cap.encoder_apply(), cap.decoder_apply(), opt,
+            enc_apply, cap.decoder_apply(), opt,
             alpha_reg=alpha_reg,
             depth_encoder_apply=cap.depth_encoder_apply(),
-            accum_steps=accum)
+            accum_steps=accum,
+            features_input=features)
     dev_batch = make_batch(batch, cap.spec.uses_depth)
+    if features:
+        # --feature-cache steady state: the step consumes precomputed
+        # frozen features (bf16 grid / NIC pooled) instead of pixels.
+        # Computed on device from the staged images — no extra H2D.
+        feats = jax.jit(cap.cache_encode_fn())(frozen["encoder"],
+                                               dev_batch["images"])
+        dev_batch = {k: v for k, v in dev_batch.items() if k != "images"}
+        dev_batch["features"] = feats
     temp = jnp.float32(1.0)
     key = jax.random.PRNGKey(0)
 
@@ -112,6 +124,10 @@ def bench_kind(kind: str, batch: int, steps: int = 30,
 def main():
     args = list(sys.argv[1:])
     decoder_dtype, accum = jnp.float32, 1
+    features_ab = False
+    if "--features" in args:        # --feature-cache steady-state A/B
+        args.remove("--features")
+        features_ab = True
     if "--bf16" in args:            # mixed-precision decoder A/B
         args.remove("--bf16")
         decoder_dtype = jnp.bfloat16
@@ -135,6 +151,12 @@ def main():
                           accum=accum)
         print(f"TRAIN {kind:<11s} batch {batch:<4d} {tag}{rate:9.1f} imgs/s",
               flush=True)
+        if features_ab:  # same process, one change, back-to-back warm
+            frate = bench_kind(kind, batch, decoder_dtype=decoder_dtype,
+                               accum=accum, features=True)
+            print(f"TRAIN {kind:<11s} batch {batch:<4d} {tag}"
+                  f"{frate:9.1f} imgs/s [feature-cache, "
+                  f"{frate / rate:.2f}x]", flush=True)
 
 
 if __name__ == "__main__":
