@@ -317,19 +317,22 @@ def bench_e2e_tpu(n_images: int = 4000, batch: int = 250):
 
 
 def bench_train_tpu(kind: str = "base-soft", batch: int = 256,
-                    steps: int = 20) -> float:
+                    steps: int = 20, features: bool = False) -> float:
     """Training-step throughput (images/s) of the exact jitted program
     ``engine/train.py`` runs per batch (normalize + frozen bf16 backbone
     under stop_gradient + teacher-forced decoder scan fwd/bwd + AdamW with
     donated state). depth-soft measures the steady-state (cached-depth)
-    shape, matching reference epochs >= 1 (depth_train.py:196-202)."""
+    shape, matching reference epochs >= 1 (depth_train.py:196-202).
+    ``features=True`` measures the ``--feature-cache`` steady state: the
+    step consumes precomputed frozen features instead of pixels
+    (engine/feature_cache.py)."""
     import importlib.util
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tools", "bench_train.py")
     spec = importlib.util.spec_from_file_location("bench_train", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return mod.bench_kind(kind, batch, steps)
+    return mod.bench_kind(kind, batch, steps, features=features)
 
 
 def bench_serve_tpu() -> dict:
@@ -503,9 +506,10 @@ def main():
     try:
         train = bench_train_tpu("base-soft", TRAIN_BATCH)
         train_depth = bench_train_tpu("depth-soft", TRAIN_DEPTH_BATCH)
+        train_fc = bench_train_tpu("base-soft", TRAIN_BATCH, features=True)
     except Exception as e:
         print(f"train bench failed: {e}", file=sys.stderr)
-        train = train_depth = None
+        train = train_depth = train_fc = None
     try:
         srv = bench_serve_tpu()
     except Exception as e:
@@ -544,6 +548,11 @@ def main():
         "train_images_per_sec": round(train, 2) if train else None,
         "depth_train_images_per_sec":
             round(train_depth, 2) if train_depth else None,
+        # --feature-cache steady state: the frozen encoder is precomputed
+        # per image, the step trains from cached features (1.95x measured;
+        # engine/feature_cache.py, PERF.md).
+        "train_feature_cache_images_per_sec":
+            round(train_fc, 2) if train_fc else None,
         # HTTP serving via serve.py (bucketed batches; includes host JPEG
         # decode and, on this rig, the ~30 MB/s tunnel).
         "serve_latency_p50_ms": round(srv["p50_ms"], 1) if srv else None,

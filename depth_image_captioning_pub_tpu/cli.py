@@ -19,15 +19,35 @@ from depth_image_captioning_pub_tpu.config import ConfigEval
 EXP_TIME = 3  # every config trains/evaluates 3x (reference: base_main.py:17)
 
 
+def cpu_feature_cache_dir() -> str:
+    """XLA:CPU persists AOT machine code keyed to the COMPILE host's CPU
+    features; loading another machine's mix risks SIGILL (the loader
+    complains loudly first). Key the CPU cache dir by a digest of this
+    host's cpuinfo flags so a cache never outlives its machine."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    tag = hashlib.blake2b(flags.encode(), digest_size=4).hexdigest()
+    return f"/tmp/dcap_jax_cache_cpu_{tag}"
+
+
 def _enable_compile_cache() -> None:
     """Persistent XLA compile cache for all CLIs (cold full-model compiles
-    cost minutes on remote-compile TPU backends; ~40s warm, measured)."""
+    cost minutes on remote-compile TPU backends; ~40s warm, measured).
+    TPU executables are target-keyed, so the long-lived repo dir is safe
+    there; the CPU platform gets a host-feature-keyed dir instead."""
     try:
         import jax
-        cache_dir = os.environ.get(
-            "DCAP_COMPILE_CACHE",
-            os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), ".jax_cache"))
+        if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+            cache_dir = cpu_feature_cache_dir()
+        else:
+            cache_dir = os.environ.get(
+                "DCAP_COMPILE_CACHE",
+                os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))), ".jax_cache"))
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     except Exception:

@@ -405,3 +405,27 @@ def test_base_main_profile_trace(coco_tree, tmp_path):
                            "--profile-stop", "999"]) == 0
     produced = [f for f in trace.rglob("*") if f.is_file()]
     assert produced, "profiler trace directory is empty"
+
+
+def test_base_main_feature_cache_e2e(coco_tree):
+    """--feature-cache end-to-end: the cache files materialize under the
+    save dir, training completes, and the cached CSV losses match an
+    online run of the same config to FP tolerance (the feature-cache
+    contract, tests/test_feature_cache.py)."""
+    import base_main
+
+    assert base_main.main(["soft", "coco", "--epochs", "1",
+                           "--exp-time", "1"]) == 0
+    d = coco_tree / "exp_result" / "base_soft"
+    csv = d / "base_soft_train_loss_coco0.csv"
+    online = float(csv.read_text().strip().splitlines()[-1].split(",")[1])
+
+    assert base_main.main(["soft", "coco", "--epochs", "1",
+                           "--exp-time", "1", "--feature-cache"]) == 0
+    fdir = d / "feat_cache"
+    bins = list(fdir.glob("feat_train_*.bin"))
+    assert bins and list(fdir.glob("feat_val_*.bin"))
+    assert (bins[0].parent / (bins[0].name + ".json")).exists()
+    # the log appends across runs; the cached run's row is the last one
+    cached = float(csv.read_text().strip().splitlines()[-1].split(",")[1])
+    np.testing.assert_allclose(online, cached, rtol=1e-4)
