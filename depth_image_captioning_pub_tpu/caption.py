@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gelu", default="erf", choices=("erf", "tanh"),
                    help="DPT GELU flavor (depth kinds; tanh = throughput "
                         "knob, PERF.md)")
+    p.add_argument("--export-dir", default=None,
+                   help="caption from a dcap-export AOT artifact instead of "
+                        "exp_result/ checkpoints (decode settings are baked "
+                        "into the artifact; model flags are ignored)")
     p.add_argument("--json", action="store_true",
                    help='emit [{"path": ..., "caption": ...}, ...]')
     p.add_argument("--output", default=None,
@@ -84,18 +88,40 @@ def main(argv=None) -> int:
         print(f"not found: {', '.join(missing)}", file=sys.stderr)
         return 1
 
-    from depth_image_captioning_pub_tpu.pipeline import CaptionPipeline
-    cfg = None
-    if args.gelu != "erf":
-        from depth_image_captioning_pub_tpu.config import ConfigEval
-        cfg = ConfigEval()
-        cfg.dpt_gelu = args.gelu
-    pipe = CaptionPipeline.from_experiment(
-        args.kind, args.use_data, cfg=cfg, set_idx=args.set_idx,
-        beam_size=args.beam, batch_size=args.batch_size,
-        sample=args.sample, temperature=args.temperature,
-        top_k=args.top_k, top_p=args.top_p, seed=args.seed)
-    captions = pipe(paths)
+    if args.export_dir:
+        from depth_image_captioning_pub_tpu.export import ExportedPipeline
+        pipe = ExportedPipeline.load(args.export_dir, seed=args.seed)
+    else:
+        from depth_image_captioning_pub_tpu.pipeline import CaptionPipeline
+        cfg = None
+        if args.gelu != "erf":
+            from depth_image_captioning_pub_tpu.config import ConfigEval
+            cfg = ConfigEval()
+            cfg.dpt_gelu = args.gelu
+        pipe = CaptionPipeline.from_experiment(
+            args.kind, args.use_data, cfg=cfg, set_idx=args.set_idx,
+            beam_size=args.beam, batch_size=args.batch_size,
+            sample=args.sample, temperature=args.temperature,
+            top_k=args.top_k, top_p=args.top_p, seed=args.seed)
+    # Tolerant batch decode: one truncated file must not kill a directory
+    # run. Failed rows are reported (stderr + "<decode failed>" caption) and
+    # the rest are captioned; same decoder + size as the pipeline's own path
+    # decode, so captions are identical to passing paths straight through.
+    from depth_image_captioning_pub_tpu.data.native_loader import decode_batch
+    failed: List[int] = []
+    arrays = decode_batch(paths, pipe.image_hw, on_error="zero",
+                          failed=failed)
+    bad = set(failed)
+    good_idx = [i for i in range(len(paths)) if i not in bad]
+    for i in sorted(bad):
+        print(f"decode failed: {paths[i]}", file=sys.stderr)
+    if not good_idx:
+        print("no decodable images", file=sys.stderr)
+        return 1
+    good_caps = pipe([arrays[i] for i in good_idx])
+    captions = ["<decode failed>"] * len(paths)
+    for i, c in zip(good_idx, good_caps):
+        captions[i] = c
 
     if args.json:
         text = json.dumps([{"path": p, "caption": c}

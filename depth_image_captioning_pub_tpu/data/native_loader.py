@@ -82,12 +82,20 @@ def available() -> bool:
 
 
 def decode_batch(paths: Sequence[str], hw: Tuple[int, int],
-                 threads: int = 4) -> np.ndarray:
+                 threads: int = 4, on_error: str = "raise",
+                 failed: Optional[list] = None) -> np.ndarray:
     """Decode+resize a batch of image files -> [N, H, W, 3] uint8.
 
     JPEGs go through the native loader (DCT-scaled decode + threaded);
     anything it can't handle falls back to PIL per file.
+
+    ``on_error``: "raise" (default — a file neither decoder can read
+    raises, matching the reference's eval behavior) or "zero" — the row
+    stays zeros and the index is appended to ``failed`` (batch tools
+    caption the rest instead of dying on one truncated file).
     """
+    if on_error not in ("raise", "zero"):
+        raise ValueError(f"on_error must be 'raise' or 'zero': {on_error}")
     n = len(paths)
     h, w = hw
     out = np.zeros((n, h, w, 3), dtype=np.uint8)
@@ -102,7 +110,13 @@ def decode_batch(paths: Sequence[str], hw: Tuple[int, int],
     for i in range(n):
         if not ok[i]:
             from PIL import Image
-            img = Image.open(paths[i]).convert("RGB").resize(
-                (w, h), Image.BILINEAR)
-            out[i] = np.asarray(img, dtype=np.uint8)
+            try:
+                img = Image.open(paths[i]).convert("RGB").resize(
+                    (w, h), Image.BILINEAR)
+                out[i] = np.asarray(img, dtype=np.uint8)
+            except Exception:
+                if on_error == "raise":
+                    raise
+                if failed is not None:
+                    failed.append(i)
     return out

@@ -77,6 +77,11 @@ class CaptionPipeline:
         if cap.spec.uses_depth and depth_fn is None:
             raise ValueError(f"{cap.spec.kind} needs depth_fn")
         self.cap = cap
+        # decode/config facts the AOT exporter (export.py) records in meta
+        self.kind = cap.spec.kind
+        self.max_length = int(max_length)
+        self.beam_size = int(beam_size)
+        self.use_pallas = bool(use_pallas)
         self.params = params
         self.frozen = frozen
         self.batch_stats = batch_stats

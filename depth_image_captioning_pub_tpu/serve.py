@@ -267,7 +267,18 @@ def main(argv=None) -> int:
                    help="DPT ViT GELU flavor (depth kinds only): tanh = "
                         "+5.4%% depth-soft throughput, ~1e-3 activation "
                         "error vs the exact-erf parity default (PERF.md)")
+    p.add_argument("--export-dir", default=None,
+                   help="serve a dcap-export AOT artifact instead of "
+                        "exp_result/ checkpoints (decode settings are baked "
+                        "into the artifact; model flags are ignored)")
     args = p.parse_args(argv)
+    if args.export_dir:
+        from depth_image_captioning_pub_tpu.export import ExportedPipeline
+        pipe = ExportedPipeline.load(args.export_dir, seed=args.seed)
+        httpd = serve(pipe, args.host, args.port, args.batch_window_ms)
+        print(f"serving export {args.export_dir} on "
+              f"http://{args.host}:{args.port}")
+        return _run_forever(httpd)
     buckets = ([int(b) for b in args.batch_buckets.split(",")]
                if args.batch_buckets else None)
     devices = None
@@ -287,7 +298,10 @@ def main(argv=None) -> int:
         seed=args.seed, devices=devices)
     httpd = serve(pipe, args.host, args.port, args.batch_window_ms)
     print(f"serving {args.kind} on http://{args.host}:{args.port}")
+    return _run_forever(httpd)
 
+
+def _run_forever(httpd) -> int:
     # Graceful SIGTERM (pod maintenance / preemptible-VM shutdown — the
     # serving twin of the train engine's preemption tolerance): stop
     # accepting, finish in-flight requests, exit 0. shutdown() must run

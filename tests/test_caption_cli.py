@@ -35,13 +35,20 @@ def test_missing_path_errors(tmp_path, capsys):
 
 
 def test_flags_thread_to_pipeline(monkeypatch, tmp_path):
+    from PIL import Image
     img = tmp_path / "x.jpg"
-    img.write_bytes(b"x")
+    Image.fromarray(np.full((32, 32, 3), 100, np.uint8)).save(str(img))
     seen = {}
+
+    class FakePipe:
+        image_hw = (224, 224)
+
+        def __call__(self, images):
+            return ["a cat"] * len(images)
 
     def fake_from_experiment(kind, use_data, **kw):
         seen.update(kind=kind, use_data=use_data, **kw)
-        return lambda paths: ["a cat"] * len(paths)
+        return FakePipe()
 
     monkeypatch.setattr(
         "depth_image_captioning_pub_tpu.pipeline.CaptionPipeline."
@@ -120,3 +127,45 @@ def test_end_to_end_captions(trained_cwd, monkeypatch, capsys):
     by_path = {d["path"]: d["caption"] for d in data}
     for path, line in zip(imgs, lines):
         assert by_path[path] == line.split("\t")[1]
+
+
+def test_corrupt_file_does_not_kill_the_batch(trained_cwd, monkeypatch,
+                                              capsys, tmp_path):
+    """One truncated JPEG in a directory run: warned on stderr, captioned as
+    '<decode failed>', and the OTHER files' captions are unchanged vs a
+    clean run (tolerant decode_batch(on_error='zero') path)."""
+    import shutil
+
+    monkeypatch.setenv("DCAP_RESNET_LAYERS", "1,1,1,1")
+    monkeypatch.chdir(trained_cwd)
+    val_dir = trained_cwd / "dataset" / "coco2014" / "val2014"
+    good = sorted(str(p) for p in val_dir.iterdir())[:2]
+
+    rc = caption_cli.main(good + ["--kind", "base-soft"])
+    assert rc == 0
+    clean = dict(ln.split("\t") for ln in
+                 capsys.readouterr().out.strip().splitlines())
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    for p in good:
+        shutil.copy(p, d / os.path.basename(p))
+    bad = d / "a_truncated.jpg"   # sorts first; JPEG magic, then garbage
+    bad.write_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+
+    rc = caption_cli.main([str(d), "--kind", "base-soft"])
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "decode failed" in captured.err and "a_truncated.jpg" in captured.err
+    got = dict(ln.split("\t") for ln in captured.out.strip().splitlines())
+    assert got[str(bad)] == "<decode failed>"
+    for p in good:
+        assert got[str(d / os.path.basename(p))] == clean[p]
+
+    # all-corrupt input: clean error, rc 1
+    d2 = tmp_path / "allbad"
+    d2.mkdir()
+    (d2 / "x.jpg").write_bytes(b"\xff\xd8\xff\xe0junk")
+    rc = caption_cli.main([str(d2), "--kind", "base-soft"])
+    assert rc == 1
+    assert "no decodable images" in capsys.readouterr().err

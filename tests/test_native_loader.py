@@ -53,6 +53,27 @@ def test_fallback_on_non_jpeg(tmp_path, jpeg_dir):
     assert abs(int(out[1].mean()) - 128) <= 1  # PNG decoded via PIL fallback
 
 
+def test_on_error_zero_collects_failures(tmp_path, jpeg_dir):
+    """on_error='zero': a file neither decoder can read leaves a zeros row
+    and lands in ``failed``; good rows are unaffected. Default still raises."""
+    bad = str(tmp_path / "bad.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG magic, then junk
+    with pytest.raises(Exception):
+        native_loader.decode_batch([jpeg_dir[0], bad], (64, 64))
+    failed = []
+    out = native_loader.decode_batch([jpeg_dir[0], bad, jpeg_dir[1]],
+                                     (64, 64), on_error="zero",
+                                     failed=failed)
+    assert failed == [1]
+    assert not out[1].any()
+    clean = native_loader.decode_batch([jpeg_dir[0], jpeg_dir[1]], (64, 64))
+    assert np.array_equal(out[0], clean[0])
+    assert np.array_equal(out[2], clean[1])
+    with pytest.raises(ValueError, match="on_error"):
+        native_loader.decode_batch([bad], (64, 64), on_error="skip")
+
+
 def test_faster_than_pil(jpeg_dir):
     from PIL import Image
     paths = jpeg_dir * 4  # 48 decodes

@@ -131,6 +131,31 @@ def test_main_threads_sampling_flags(monkeypatch):
     assert seen["cfg"] is None
 
 
+def test_main_export_dir(monkeypatch):
+    """`dcap-serve --export-dir art/` serves an ExportedPipeline.load
+    artifact instead of exp_result/ checkpoints."""
+    import depth_image_captioning_pub_tpu.serve as serve_mod
+
+    seen = {}
+
+    class FakeHTTPD:
+        def serve_forever(self):
+            raise KeyboardInterrupt
+        service = type("S", (), {"stop": staticmethod(lambda: None)})()
+
+    def fake_load(export_dir, seed=0):
+        seen.update(export_dir=export_dir, seed=seed)
+        return object()
+
+    monkeypatch.setattr(
+        "depth_image_captioning_pub_tpu.export.ExportedPipeline.load",
+        staticmethod(fake_load))
+    monkeypatch.setattr(serve_mod, "serve", lambda *a, **k: FakeHTTPD())
+    rc = serve_mod.main(["--export-dir", "art", "--seed", "5"])
+    assert rc == 0
+    assert seen == {"export_dir": "art", "seed": 5}
+
+
 def test_main_threads_gelu_flag(monkeypatch):
     """`dcap-serve --gelu tanh` builds a cfg with dpt_gelu='tanh' for
     from_experiment (make_depth_fn applies the knob from cfg)."""
