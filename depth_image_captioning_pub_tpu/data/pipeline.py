@@ -185,11 +185,23 @@ class Prefetcher:
     def __init__(self, iterator: Iterator, depth: int = 2):
         self._q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
         self._err: Optional[BaseException] = None
+        self._cancel = threading.Event()
 
         def run():
             try:
                 for item in iterator:
-                    self._q.put(item)
+                    # bounded put so close() can unblock an abandoned
+                    # producer (a consumer that returns mid-iteration —
+                    # e.g. the train loop's preemption exit — would
+                    # otherwise strand this thread on a full queue forever)
+                    while not self._cancel.is_set():
+                        try:
+                            self._q.put(item, timeout=0.1)
+                            break
+                        except queue_mod.Full:
+                            continue
+                    if self._cancel.is_set():
+                        return
             except BaseException as e:  # surface worker errors to consumer
                 self._err = e
             finally:
@@ -197,6 +209,17 @@ class Prefetcher:
 
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
+
+    def close(self, timeout: float = 5.0) -> None:
+        """Stop the producer thread without draining the iterator; safe to
+        call after abandoning iteration early."""
+        self._cancel.set()
+        try:  # make room in case the producer is mid-put
+            while True:
+                self._q.get_nowait()
+        except queue_mod.Empty:
+            pass
+        self._thread.join(timeout=timeout)
 
     def __iter__(self):
         return self

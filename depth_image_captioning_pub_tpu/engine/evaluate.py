@@ -402,6 +402,12 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
                       "image paths; disk persistence off")
         else:
             store = eval_cache_store
+    if num_sets == 1 and store is None:
+        # a single set with no usable disk store has nothing to replay a
+        # filled cache into — don't hold gigabytes of frozen-stage outputs
+        # on device for a pass that never reuses them
+        set_cache = None
+        depth_cache = None
     enc_ref = None
     for set_idx in range(1, num_sets + 1):
         frozen_enc, params, batch_stats = checkpoint_loader(set_idx)

@@ -104,6 +104,14 @@ def train(kind: str, ext: int, use_data: str = "coco",
     loses the whole run on any interruption (SURVEY.md §5).
     ``preempt_event`` is a test hook equivalent to receiving SIGTERM.
 
+    Multi-host (``jax.distributed`` via parallel/multihost.py): the loop is
+    SPMD-safe as written — the mesh spans the global device set, every host
+    feeds the same global batches (``shard_batch`` slices each host's
+    addressable shards), and only process 0 writes artifacts (CSV/JSONL,
+    best-component files, full-state checkpoints). For host-sharded input
+    feeding use ``multihost.global_batch`` (tested two-process in
+    tests/test_multihost.py).
+
     ``feature_cache=True`` materializes the frozen encoder's outputs once
     per image (train AND val splits) into digest-keyed disk memmaps under
     the save directory, then trains every epoch from cached features — the
@@ -134,10 +142,17 @@ def train(kind: str, ext: int, use_data: str = "coco",
     prefix = _KIND_PREFIX[kind]
     suffix = f"{use_data}{ext}" if kind != "nic" else f"{ext}"
     sep = "_" if kind != "nic" else ""
-    train_csv = CsvLossLog(f"{save_directory}/{prefix}_train_loss{sep}{suffix}.csv")
-    val_csv = CsvLossLog(f"{save_directory}/{prefix}_val_loss{sep}{suffix}.csv")
+    # Multi-host (jax.distributed): every process runs the same SPMD loop,
+    # but only process 0 writes artifacts — duplicate CSV/checkpoint writes
+    # from N hosts onto a shared filesystem would race/corrupt. Single
+    # process => process_index()==0, so this is a no-op locally.
+    lead = jax.process_index() == 0
+    train_csv = CsvLossLog(f"{save_directory}/{prefix}_train_loss{sep}{suffix}.csv") \
+        if lead else None
+    val_csv = CsvLossLog(f"{save_directory}/{prefix}_val_loss{sep}{suffix}.csv") \
+        if lead else None
     jsonl = JsonlLog(f"{save_directory}/{prefix}_metrics_{suffix}.jsonl") \
-        if cfg.log_jsonl else None
+        if (cfg.log_jsonl and lead) else None
 
     cap = build_captioner(kind, vocab_size, cfg, resnet_layers=resnet_layers,
                           decoder_dtype=jnp.dtype(cfg.decoder_dtype).type)
@@ -289,10 +304,11 @@ def train(kind: str, ext: int, use_data: str = "coco",
             signal.SIGTERM, lambda s, f: preempt.update(flag=True))
 
     def finish_preempted(epoch_, mid_epoch, batches_done, loss_sum_):
-        ckptr.save(epoch_, ckpt_payload(epoch_, mid_epoch=mid_epoch,
-                                        batches_done=batches_done,
-                                        loss_sum_=loss_sum_))
-        ckptr.wait()
+        if lead:
+            ckptr.save(epoch_, ckpt_payload(epoch_, mid_epoch=mid_epoch,
+                                            batches_done=batches_done,
+                                            loss_sum_=loss_sum_))
+            ckptr.wait()
         if not quiet:
             where = f"batch {batches_done} of epoch {epoch_}" if mid_epoch \
                 else f"end of epoch {epoch_}"
@@ -347,10 +363,12 @@ def train(kind: str, ext: int, use_data: str = "coco",
             meter.update_lazy(lambda ld=loss_dev: ld)
             if preempted() and ckptr is not None:
                 meter.close()
+                it.close()  # unblock the prefetch thread we're abandoning
                 return finish_preempted(epoch, 1, n_steps, float(loss_sum))
         meter.close()
         train_loss = (float(loss_sum) / n_steps) if n_steps else float("nan")
-        train_csv.append(epoch, train_loss)
+        if train_csv:
+            train_csv.append(epoch, train_loss)
         if not quiet:
             print(f"[epoch:{epoch}] train loss: {train_loss}")
 
@@ -372,7 +390,8 @@ def train(kind: str, ext: int, use_data: str = "coco",
                 else val_sum + metrics["loss"]
             n_val += 1
         val_loss = (float(val_sum) / n_val) if n_val else float("nan")
-        val_csv.append(epoch, val_loss)
+        if val_csv:
+            val_csv.append(epoch, val_loss)
         if not quiet:
             print(f"[epoch:{epoch}] Validation loss: {val_loss}")
         if jsonl:
@@ -382,8 +401,9 @@ def train(kind: str, ext: int, use_data: str = "coco",
                           "temp": float(temp)})
 
         if val_loss < best_val:
-            best_val = val_loss
-            _save_best(save_directory, prefix, suffix, sep, kind, state)
+            best_val = val_loss  # tracked on every host (control flow)
+            if lead:
+                _save_best(save_directory, prefix, suffix, sep, kind, state)
             if not quiet:
                 print("best model parameters are changed")
 
@@ -392,7 +412,7 @@ def train(kind: str, ext: int, use_data: str = "coco",
             # normally, so save an ordinary end-of-epoch checkpoint
             return finish_preempted(epoch, 0, 0, 0.0)
 
-        if ckptr is not None and checkpoint_every \
+        if ckptr is not None and checkpoint_every and lead \
                 and (epoch + 1) % checkpoint_every == 0:
             ckptr.save(epoch, ckpt_payload(epoch))
     finally:

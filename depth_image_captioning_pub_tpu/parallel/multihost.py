@@ -9,8 +9,13 @@ recipe (each host supplies its local shard of the global batch).
 
 Tested for real in ``tests/test_multihost.py``: two separate processes
 (4 virtual CPU devices each) join through ``initialize``, build the
-8-device global mesh, and compute a global sum over per-host shards —
-the analogue of the reference's *absent* multi-node NCCL story.
+8-device global mesh, compute a global sum over per-host shards, and —
+the part that matters — run the ENGINE's jitted train step
+(engine/steps.make_attention_train_step) with per-host batch halves fed
+through ``global_batch``, matching a single-process 8-device run's loss
+trajectory and final params. The full train loop (engine/train.py) is
+multi-host aware: artifacts are written by process 0 only.
+This is the analogue of the reference's *absent* multi-node NCCL story.
 """
 
 from __future__ import annotations

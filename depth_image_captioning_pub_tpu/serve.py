@@ -100,10 +100,17 @@ class CaptionService:
         import time
         from depth_image_captioning_pub_tpu.data.tokenizer import (
             ids_to_caption)
-        while not self._stop.is_set():
+        # Terminate ONLY via the sentinel (re-queued behind real work in
+        # _drain's mixed batches): gating the loop on _stop instead would
+        # strand any jobs still queued past the first post-stop batch —
+        # their submitters would block until timeout, breaking the
+        # "caption every queued request, then exit" drain contract.
+        while True:
             try:
                 jobs = self._drain()
             except Exception:
+                if self._stop.is_set() and self.queue.empty():
+                    return
                 continue
             if any(j is _SENTINEL for j in jobs):
                 jobs = [j for j in jobs if j is not _SENTINEL]
@@ -132,6 +139,10 @@ class CaptionService:
 
     def submit(self, array: np.ndarray, timeout: float = 60.0) -> str:
         import time
+        if self._stop.is_set():
+            # post-shutdown submits would otherwise hold the worker past
+            # its drain (new jobs keep landing behind the sentinel)
+            raise RuntimeError("caption service is shutting down")
         t0 = time.monotonic()
         job = _Job(array)
         self.queue.put(job)
@@ -168,7 +179,9 @@ class CaptionService:
     def stop(self):
         self._stop.set()
         self.queue.put(_SENTINEL)
-        self.worker.join(timeout=5)
+        # generous: a SIGTERM-time backlog drains at one device call per
+        # batch_size jobs, which can exceed 5s on a loaded server
+        self.worker.join(timeout=60)
 
 
 _SENTINEL = _Job(np.zeros((1, 1, 3), np.uint8))
@@ -315,6 +328,12 @@ def _run_forever(httpd) -> int:
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
+    # Drain order matters: server_close() joins the in-flight handler
+    # threads (ThreadingHTTPServer tracks them under block_on_close) while
+    # the worker is still alive to caption their jobs — stopping the worker
+    # first would strand them, and skipping the join would let process exit
+    # kill daemon handler threads mid-reply.
+    httpd.server_close()
     httpd.service.stop()
     print("serve: clean exit")
     return 0

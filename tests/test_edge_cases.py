@@ -43,6 +43,17 @@ def test_prefetcher_drains_fully():
     assert list(Prefetcher(iter(range(7)), depth=2)) == list(range(7))
 
 
+def test_prefetcher_close_unblocks_abandoned_producer():
+    """close(): a consumer that abandons iteration early (the train loop's
+    preemption exit) must not strand the producer thread on a full queue
+    (regression: put() used to block forever)."""
+    import itertools
+    it = Prefetcher(itertools.count(), depth=2)  # infinite producer
+    assert next(it) == 0
+    it.close()
+    assert not it._thread.is_alive()
+
+
 def test_pad_captions_truncates_keeping_end():
     toks = [[1, 2, 3, 4, 5, 6, 99]]
     out, lengths = pad_captions(toks, null_id=0, max_len=5)

@@ -70,6 +70,24 @@ def test_train_base_soft_writes_artifacts(fixture_env, tmp_path):
     assert glob.glob(f"{d}/base_soft_decoder_best_coco0.pth.msgpack")
 
 
+def test_non_lead_process_writes_no_artifacts(fixture_env, tmp_path,
+                                              monkeypatch):
+    """Multi-host: a non-zero jax.process_index runs the identical SPMD
+    loop but writes NO artifacts (CSV/JSONL/best-component files are
+    process 0's job — N hosts double-writing a shared filesystem would
+    race). Single-process runs are unaffected (process_index()==0)."""
+    ds, w2i, _, _ = fixture_env
+    cfg = _cfg(str(tmp_path))
+    monkeypatch.setattr(jax, "process_index", lambda backend=None: 1)
+    summary = train("base-soft", ext=0, use_data="coco", cfg=cfg,
+                    datasets=(ds, ds), word_to_id=w2i, num_epochs=1,
+                    quiet=True, resnet_layers=TINY)
+    assert np.isfinite(summary["best_val_loss"])
+    written = [f for f in glob.glob(f"{cfg.save_directory_soft}/**",
+                                    recursive=True) if os.path.isfile(f)]
+    assert written == []
+
+
 def test_train_nic_runs(fixture_env, tmp_path):
     ds, w2i, _, _ = fixture_env
     cfg = _cfg(str(tmp_path))

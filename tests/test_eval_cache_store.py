@@ -170,3 +170,27 @@ def test_cli_threads_eval_cache_dir(monkeypatch):
     rc = base_evaluation.main(["soft", "score", "coco",
                                "--eval-cache-dir", "/tmp/ec"])
     assert rc == 0 and seen["eval_cache_dir"] == "/tmp/ec"
+
+
+def test_single_set_without_store_skips_fill(env, monkeypatch):
+    """num_sets=1 + --eval-cache-dir but an unfingerprintable dataset (no
+    disk store): nothing will ever replay the cache, so evaluate() must not
+    fill it (regression: it used to hold every frozen-stage output on
+    device for a pass that never reused them)."""
+    import depth_image_captioning_pub_tpu.engine.evaluate as ev
+
+    monkeypatch.setattr(store, "data_key", lambda *a, **k: None)
+    seen = {}
+    real = ev.generate_captions
+
+    def spy(*args, **kw):
+        seen["set_cache_mode"] = kw.get("set_cache_mode")
+        seen["depth_cache_mode"] = kw.get("depth_cache_mode")
+        return real(*args, **kw)
+
+    monkeypatch.setattr(ev, "generate_captions", spy)
+    cap, params, frozen, stats = _build("base-soft", env)
+    loader = lambda i: (frozen["encoder"], params, stats)  # noqa: E731
+    scores = _run("base-soft", env, loader, cache_dir="/nonexistent-cache")
+    assert seen == {"set_cache_mode": None, "depth_cache_mode": None}
+    assert all(len(v) == 1 for v in scores.values())

@@ -13,6 +13,8 @@ import socket
 import subprocess
 import sys
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CHILD = r"""
@@ -98,3 +100,81 @@ def test_two_process_global_mesh():
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert "global sum 12.0 over 8 devices OK" in out
         assert "host-shard feeding OK" in out
+
+
+_TRAIN_CHILD = r"""
+import sys
+sys.path.insert(0, "@REPO@")
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from depth_image_captioning_pub_tpu.parallel import multihost
+from depth_image_captioning_pub_tpu.parallel.mesh import make_mesh
+
+pid = int(sys.argv[1])
+multihost.initialize(coordinator_address=sys.argv[2],
+                     num_processes=2, process_id=pid)
+assert len(jax.devices()) == 8 and jax.local_device_count() == 4
+mesh = make_mesh(jax.devices())
+
+from tests.mh_train_common import GLOBAL_BATCH, run
+half = GLOBAL_BATCH // 2  # host i feeds rows [i*half, (i+1)*half)
+
+
+def feed(b):
+    local = {k: np.asarray(v)[pid * half:(pid + 1) * half]
+             for k, v in b.items()}
+    return multihost.global_batch(mesh, local)
+
+
+losses, digest = run(mesh, feed)
+print("MHTRAIN losses=" + ",".join(f"{l:.8f}" for l in losses)
+      + f" digest={digest:.6f}", flush=True)
+"""
+
+
+def _parse_mhtrain(out: str):
+    line = next(l for l in out.splitlines() if l.startswith("MHTRAIN"))
+    parts = dict(p.split("=") for p in line.split()[1:])
+    return ([float(x) for x in parts["losses"].split(",")],
+            float(parts["digest"]))
+
+
+def test_two_process_training_equality():
+    """The ENGINE's jitted train step, not just a toy sum, is multi-host
+    correct: two processes (4 devices each) feeding per-host batch halves
+    through multihost.global_batch walk the same loss trajectory and reach
+    the same params as a single-process 8-device sharded run."""
+    from tests.mh_train_common import run
+    from depth_image_captioning_pub_tpu.parallel.mesh import (
+        make_mesh, shard_batch)
+
+    # ground truth: single-process, same 8-way batch sharding
+    mesh = make_mesh()
+    want_losses, want_digest = run(mesh, lambda b: shard_batch(mesh, b))
+    assert all(np.isfinite(want_losses))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    code = _TRAIN_CHILD.replace("@REPO@", REPO)
+    procs = [subprocess.Popen([sys.executable, "-c", code, str(i), coord],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        got_losses, got_digest = _parse_mhtrain(out)
+        np.testing.assert_allclose(got_losses, want_losses, atol=1e-5)
+        np.testing.assert_allclose(got_digest, want_digest, rtol=1e-4)

@@ -112,6 +112,9 @@ def test_main_threads_sampling_flags(monkeypatch):
             raise KeyboardInterrupt  # exit main() immediately
         service = type("S", (), {"stop": staticmethod(lambda: None)})()
 
+        def server_close(self):
+            pass
+
     # main() imports CaptionPipeline from the pipeline module at call time
     monkeypatch.setattr(
         "depth_image_captioning_pub_tpu.pipeline.CaptionPipeline."
@@ -143,6 +146,9 @@ def test_main_export_dir(monkeypatch):
             raise KeyboardInterrupt
         service = type("S", (), {"stop": staticmethod(lambda: None)})()
 
+        def server_close(self):
+            pass
+
     def fake_load(export_dir, seed=0):
         seen.update(export_dir=export_dir, seed=seed)
         return object()
@@ -171,6 +177,9 @@ def test_main_threads_gelu_flag(monkeypatch):
         def serve_forever(self):
             raise KeyboardInterrupt
         service = type("S", (), {"stop": staticmethod(lambda: None)})()
+
+        def server_close(self):
+            pass
 
     monkeypatch.setattr(
         "depth_image_captioning_pub_tpu.pipeline.CaptionPipeline."
@@ -229,6 +238,35 @@ def test_stop_drains_in_flight_jobs():
     assert not svc.worker.is_alive()  # sentinel survived the mixed batch
 
 
+def test_stop_drains_backlog_beyond_one_batch():
+    """SIGTERM under load: jobs queued past the batch cap at stop() time
+    are still captioned (regression: the worker loop used to gate on the
+    stop flag and exit after the first post-stop batch, stranding the
+    rest until their submit timeout)."""
+    import time
+    from depth_image_captioning_pub_tpu.serve import CaptionService, _Job
+
+    class StubPipeline:
+        batch_size = 4
+        image_hw = (4, 4)
+        id_to_word = {0: "ok", 1: "<end>"}
+
+        def caption_tokens(self, arrays):
+            time.sleep(0.02)
+            return np.zeros((arrays.shape[0], 3), np.int32)
+
+    svc = CaptionService(StubPipeline(), batch_window_ms=5.0)
+    jobs = [_Job(np.zeros((4, 4, 3), np.uint8)) for _ in range(11)]
+    for j in jobs:
+        svc.queue.put(j)            # 11 jobs = 3 batches at cap 4
+    svc.stop()
+    for j in jobs:
+        assert j.event.wait(5.0)
+        assert j.error is None and j.caption is not None
+    svc.worker.join(timeout=5.0)
+    assert not svc.worker.is_alive()
+
+
 def test_bad_requests(server):
     httpd, _ = server
     port = httpd.server_address[1]
@@ -240,3 +278,49 @@ def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as e2:
         urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=30)
     assert e2.value.code == 404
+
+
+def test_run_forever_drain_order():
+    """Shutdown joins in-flight handler threads (server_close) BEFORE
+    stopping the caption worker — the reverse would strand handlers whose
+    jobs the dead worker never captions."""
+    from depth_image_captioning_pub_tpu.serve import _run_forever
+
+    order = []
+
+    class StubService:
+        def stop(self):
+            order.append("stop")
+
+    class StubHTTPD:
+        service = StubService()
+
+        def serve_forever(self):
+            order.append("serve")
+            raise KeyboardInterrupt
+
+        def server_close(self):
+            order.append("close")
+
+    assert _run_forever(StubHTTPD()) == 0
+    assert order == ["serve", "close", "stop"]
+
+
+def test_submit_after_stop_refused():
+    """submit() after stop() raises instead of queuing a job behind the
+    shutdown sentinel (which would hold the worker past its drain)."""
+    import pytest as _pytest
+    from depth_image_captioning_pub_tpu.serve import CaptionService
+
+    class StubPipeline:
+        batch_size = 2
+        image_hw = (4, 4)
+        id_to_word = {0: "ok", 1: "<end>"}
+
+        def caption_tokens(self, arrays):
+            return np.zeros((arrays.shape[0], 3), np.int32)
+
+    svc = CaptionService(StubPipeline(), batch_window_ms=1.0)
+    svc.stop()
+    with _pytest.raises(RuntimeError, match="shutting down"):
+        svc.submit(np.zeros((4, 4, 3), np.uint8))
