@@ -64,6 +64,22 @@ _VMEM_BUDGET = 90 * 1024 * 1024
 _VMEM_LIMIT = 110 * 1024 * 1024
 NEG_INF = -1e9  # identical constant to ops/decode.NEG_INF
 
+# In-kernel top-k strategy. "stream": ONE pass over the score sheet with
+# sorted top-W registers (see the streaming block in _make_kernel) —
+# replaces "iter"'s W passes of (max, argmax, mask). Both are bit-exact
+# flat top-k with lax.top_k's tie order; the default is whichever measured
+# faster on chip (see module docstring).
+TOPK_DEFAULT = "iter"
+_STREAM_CHUNK = 1024  # lanes per streamed chunk (multiple of 128)
+
+
+def _stream_vp(vocab: int):
+    """(padded vocab width, chunk lanes) for the streaming top-k: the
+    width is a multiple of the chunk, the chunk a multiple of 128 capped
+    at _STREAM_CHUNK."""
+    ch = min(_STREAM_CHUNK, -(-vocab // 128) * 128)
+    return -(-vocab // ch) * ch, ch
+
 
 class BeamSeqOutputs(NamedTuple):
     tokens: jax.Array    # [B, W, L] int32: token chosen for beam w at t
@@ -72,26 +88,32 @@ class BeamSeqOutputs(NamedTuple):
 
 
 def _pick_block(bsz: int, w: int, k: int, d: int, a: int, v: int,
-                itemsize: int, weight_bytes: int) -> int:
+                itemsize: int, weight_bytes: int,
+                topk: str = "iter") -> int:
+    vp = _stream_vp(v)[0] if topk == "stream" else v
+    n_sheets = 4 if topk == "stream" else 3   # + the VMEM scratch sheet
     for blk in (32, 16, 8):
         if bsz % blk:
             continue
         feats = blk * k * (d + a) * itemsize
         act = blk * w * k * a * 4
-        sheets = blk * w * v * 4 * 3          # logits, logprobs, flat
+        sheets = blk * w * vp * 4 * n_sheets  # logits, logprobs, flat(+scr)
         if feats + act + sheets + weight_bytes <= _VMEM_BUDGET:
             return blk
     return 8
 
 
-def _make_kernel(max_length: int, start_id: int, end_id: int, beam: int):
+def _make_kernel(max_length: int, start_id: int, end_id: int, beam: int,
+                 topk: str = "iter"):
     W = beam
 
     def kernel(feat_ref, proj_ref, h0_ref, c0_ref,
                w_dec_ref, b_dec_ref, w_full_ref, b_full_ref,
                w_fb_ref, b_fb_ref, w_ih_e_ref, w_ih_c_ref, w_hh_ref,
                b_lstm_ref, w_out_ref, b_out_ref, embed_ref,
-               tok_out_ref, par_out_ref, score_out_ref):
+               tok_out_ref, par_out_ref, score_out_ref,
+               *scratch_refs):
+        sheet_ref = scratch_refs[0] if scratch_refs else None
         blk = h0_ref.shape[0]
         vocab = w_out_ref.shape[1]
         hdim = h0_ref.shape[1]
@@ -102,6 +124,109 @@ def _make_kernel(max_length: int, start_id: int, end_id: int, beam: int):
             """[N] int32 -> [N, width] one-hot."""
             return (idx[:, None] == jax.lax.broadcasted_iota(
                 jnp.int32, (idx.shape[0], width), 1)).astype(dtype)
+
+        def iter_topk(total, vocab_iota):
+            # Flat top-k WITHOUT the [blk, W*V] reshape (Mosaic: folding
+            # the minor dim is an unsupported shape cast). Hierarchical
+            # (max over vocab, then over beams) with one-hot row selection
+            # keeps lax.top_k's tie order: smallest beam, then smallest
+            # token — exactly the flat argmax's lowest-flat-index rule.
+            # Cost: W passes of (max, argmax, mask) over the full sheet.
+            w_iota = jax.lax.broadcasted_iota(jnp.int32, (blk, W), 1)
+            work = total
+            score_rows, parent_rows, token_rows = [], [], []
+            for _ in range(W):
+                per_beam = jnp.max(work, axis=2)            # [blk, W]
+                m = jnp.max(per_beam, axis=1)               # [blk]
+                beam_sel = jnp.argmax(per_beam, axis=1).astype(jnp.int32)
+                beam_oh = (w_iota == beam_sel[:, None]).astype(work.dtype)
+                row = jnp.sum(work * beam_oh[:, :, None], axis=1)  # [blk,V]
+                tok_sel = jnp.argmax(row, axis=1).astype(jnp.int32)
+                score_rows.append(m)
+                parent_rows.append(beam_sel)
+                token_rows.append(tok_sel)
+                hit = beam_oh[:, :, None] * (
+                    vocab_iota == tok_sel[:, None, None]).astype(work.dtype)
+                work = jnp.where(hit > 0, NEG_INF, work)
+            return (jnp.stack(score_rows, axis=1),          # [blk, W]
+                    jnp.stack(parent_rows, axis=1),
+                    jnp.stack(token_rows, axis=1))
+
+        def stream_topk(total):
+            # Streaming flat top-k: ONE pass over the sheet instead of
+            # iter_topk's 3W. The sheet lands in a VMEM scratch (padded to
+            # a chunk multiple with -inf); per beam row (static) a fori
+            # over 128-aligned chunks keeps sorted top-W registers
+            # (value/beam/token), and a data-dependent while inserts a
+            # chunk's candidates only while its running max beats the
+            # registers' min — almost always zero iterations, at most W+1
+            # per chunk with each re-max touching just [blk, CH] lanes.
+            # Tie order is exactly lax.top_k's lowest-flat-index rule:
+            # chunks stream in flat order, equal values insert AFTER the
+            # (earlier) equals already held, a candidate equal to the
+            # registers' min is discarded, and the in-chunk argmax breaks
+            # ties to the lowest lane. All register values are untouched
+            # copies of sheet values -> bitwise identical to iter_topk.
+            vp, ch = _stream_vp(vocab)
+            pad = vp - vocab
+            if pad:
+                fill = jnp.full((blk, W, pad), -jnp.inf, total.dtype)
+                sheet_ref[:] = jnp.concatenate([total, fill], axis=2)
+            else:
+                sheet_ref[:] = total
+            n_chunks = vp // ch
+            iota_w2 = jax.lax.broadcasted_iota(jnp.int32, (blk, W), 1)
+            lane_iota = jax.lax.broadcasted_iota(jnp.int32, (blk, ch), 1)
+
+            def insert(rv, rb, rt, v, b, tkn, do):
+                # sorted insert of (v, b, tkn) into the descending
+                # registers at rank = #(entries >= v); rows with do=False
+                # keep their registers
+                cnt = jnp.sum((rv >= v[:, None]).astype(jnp.int32),
+                              axis=1)[:, None]
+                out = []
+                for r, nv in ((rv, v), (rb, b), (rt, tkn)):
+                    sh = jnp.concatenate([r[:, :1], r[:, :-1]], axis=1)
+                    ins = jnp.where(iota_w2 < cnt, r,
+                                    jnp.where(iota_w2 == cnt,
+                                              nv[:, None], sh))
+                    out.append(jnp.where(do[:, None], ins, r))
+                return tuple(out)
+
+            rv = jnp.full((blk, W), -jnp.inf, jnp.float32)
+            rb = jnp.zeros((blk, W), jnp.int32)
+            rt = jnp.zeros((blk, W), jnp.int32)
+            for w_i in range(W):
+                def chunk_body(c_idx, regs, w_i=w_i):
+                    rv_, rb_, rt_ = regs
+                    S = sheet_ref[:, w_i, pl.ds(c_idx * ch, ch)]
+                    cmax = jnp.max(S, axis=1)
+
+                    def w_cond(wc):
+                        _, cm, rv__, _, _ = wc
+                        want = (cm > rv__[:, -1]).astype(jnp.int32)
+                        return jnp.sum(want) > 0
+
+                    def w_body(wc):
+                        S_, cm, rv__, rb__, rt__ = wc
+                        do = cm > rv__[:, -1]
+                        carg = jnp.argmax(S_, axis=1).astype(jnp.int32)
+                        rv__, rb__, rt__ = insert(
+                            rv__, rb__, rt__, cm,
+                            jnp.full((blk,), w_i, jnp.int32),
+                            c_idx * ch + carg, do)
+                        hit = jnp.logical_and(do[:, None],
+                                              lane_iota == carg[:, None])
+                        S_ = jnp.where(hit, -jnp.inf, S_)
+                        return S_, jnp.max(S_, axis=1), rv__, rb__, rt__
+
+                    wc = jax.lax.while_loop(
+                        w_cond, w_body, (S, cmax, rv_, rb_, rt_))
+                    return wc[2], wc[3], wc[4]
+
+                rv, rb, rt = jax.lax.fori_loop(
+                    0, n_chunks, chunk_body, (rv, rb, rt))
+            return rv, rb, rt
 
         def step(t, h, c, emb, scores, finished, acc_tok, acc_par):
             # ---- model step for all blk*W rows --------------------------
@@ -149,30 +274,10 @@ def _make_kernel(max_length: int, start_id: int, end_id: int, beam: int):
             lp = jnp.where(finished[..., None] > 0, fin_lp, lp)
             total = scores[..., None] + lp                  # [blk, W, V]
 
-            # Flat top-k WITHOUT the [blk, W*V] reshape (Mosaic: folding
-            # the minor dim is an unsupported shape cast). Hierarchical
-            # (max over vocab, then over beams) with one-hot row selection
-            # keeps lax.top_k's tie order: smallest beam, then smallest
-            # token — exactly the flat argmax's lowest-flat-index rule.
-            w_iota = jax.lax.broadcasted_iota(jnp.int32, (blk, W), 1)
-            work = total
-            score_rows, parent_rows, token_rows = [], [], []
-            for _ in range(W):
-                per_beam = jnp.max(work, axis=2)            # [blk, W]
-                m = jnp.max(per_beam, axis=1)               # [blk]
-                beam_sel = jnp.argmax(per_beam, axis=1).astype(jnp.int32)
-                beam_oh = (w_iota == beam_sel[:, None]).astype(work.dtype)
-                row = jnp.sum(work * beam_oh[:, :, None], axis=1)  # [blk,V]
-                tok_sel = jnp.argmax(row, axis=1).astype(jnp.int32)
-                score_rows.append(m)
-                parent_rows.append(beam_sel)
-                token_rows.append(tok_sel)
-                hit = beam_oh[:, :, None] * (
-                    vocab_iota == tok_sel[:, None, None]).astype(work.dtype)
-                work = jnp.where(hit > 0, NEG_INF, work)
-            new_scores = jnp.stack(score_rows, axis=1)      # [blk, W]
-            parent = jnp.stack(parent_rows, axis=1)         # [blk, W]
-            token = jnp.stack(token_rows, axis=1)           # [blk, W]
+            if topk == "stream":
+                new_scores, parent, token = stream_topk(total)
+            else:
+                new_scores, parent, token = iter_topk(total, vocab_iota)
 
             # reorder carried state by parent via one-hot batched matmul
             # (perm built by rank-preserving compares — no 1D reshapes)
@@ -254,19 +359,38 @@ def _make_kernel(max_length: int, start_id: int, end_id: int, beam: int):
     return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("beam_size", "max_length", "start_id",
-                                    "end_id", "interpret"))
 def fused_beam_decode(features: jax.Array, features_proj: jax.Array,
                       h0: jax.Array, c0: jax.Array, w: DecodeSeqWeights,
                       *, beam_size: int, max_length: int = 30,
                       start_id: int = 0, end_id: int = 0,
-                      interpret: bool = False) -> BeamSeqOutputs:
+                      interpret: bool = False,
+                      topk: str | None = None) -> BeamSeqOutputs:
     """Run the whole beam search in one kernel; returns per-step records.
 
     features/h0/c0 are PER-IMAGE (untiled — the kernel broadcasts across
-    beams internally). B must be a multiple of 8.
+    beams internally). B must be a multiple of 8. ``topk`` picks the
+    in-kernel selection strategy ("stream"/"iter", default TOPK_DEFAULT) —
+    both are bit-identical searches. Resolved HERE, outside the jit
+    boundary: resolving a None default inside the traced body would bake
+    the module default into the first trace and ignore later toggles.
     """
+    if topk is None:
+        topk = TOPK_DEFAULT
+    assert topk in ("stream", "iter"), topk
+    return _fused_beam_decode(features, features_proj, h0, c0, w,
+                              beam_size=beam_size, max_length=max_length,
+                              start_id=start_id, end_id=end_id,
+                              interpret=interpret, topk=topk)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("beam_size", "max_length", "start_id",
+                                    "end_id", "interpret", "topk"))
+def _fused_beam_decode(features: jax.Array, features_proj: jax.Array,
+                       h0: jax.Array, c0: jax.Array, w: DecodeSeqWeights,
+                       *, beam_size: int, max_length: int,
+                       start_id: int, end_id: int,
+                       interpret: bool, topk: str) -> BeamSeqOutputs:
     bsz, k, d = features.shape
     assert bsz % 8 == 0, f"batch {bsz} must be a multiple of 8"
     a = features_proj.shape[-1]
@@ -276,7 +400,8 @@ def fused_beam_decode(features: jax.Array, features_proj: jax.Array,
     flat_w = list(w.step) + [w.w_out, w.b_out, w.embed]
     weight_bytes = sum(int(np.prod(x.shape)) * jnp.dtype(x.dtype).itemsize
                        for x in flat_w)
-    blk = _pick_block(bsz, beam_size, k, d, a, vocab, itemsize, weight_bytes)
+    blk = _pick_block(bsz, beam_size, k, d, a, vocab, itemsize, weight_bytes,
+                      topk=topk)
     grid = (bsz // blk,)
 
     def batch_spec(*shape):
@@ -290,8 +415,12 @@ def fused_beam_decode(features: jax.Array, features_proj: jax.Array,
 
     in_specs = [batch_spec(k, d), batch_spec(k, a), batch_spec(hdim),
                 batch_spec(hdim)] + [weight_spec(x) for x in flat_w]
+    scratch_shapes = []
+    if topk == "stream":
+        scratch_shapes.append(
+            pltpu.VMEM((blk, beam_size, _stream_vp(vocab)[0]), jnp.float32))
     tokens, parents, scores = pl.pallas_call(
-        _make_kernel(max_length, start_id, end_id, beam_size),
+        _make_kernel(max_length, start_id, end_id, beam_size, topk=topk),
         grid=grid,
         in_specs=in_specs,
         out_specs=[batch_spec(beam_size, max_length),
@@ -302,6 +431,7 @@ def fused_beam_decode(features: jax.Array, features_proj: jax.Array,
             jax.ShapeDtypeStruct((bsz, beam_size, max_length), jnp.int32),
             jax.ShapeDtypeStruct((bsz, beam_size), jnp.float32),
         ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(features, features_proj, h0, c0, *flat_w)

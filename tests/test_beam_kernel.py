@@ -26,9 +26,13 @@ def decoder():
     return dec, params
 
 
+@pytest.mark.parametrize("topk", ["iter", "stream"])
 @pytest.mark.parametrize("beam", [2, 5])
 @pytest.mark.parametrize("length_penalty", [0.0, 0.7])
-def test_kernel_matches_xla_beam_search(decoder, beam, length_penalty, rng):
+def test_kernel_matches_xla_beam_search(decoder, beam, length_penalty,
+                                        topk, rng, monkeypatch):
+    import depth_image_captioning_pub_tpu.ops.pallas.beam_seq as bs
+    monkeypatch.setattr(bs, "TOPK_DEFAULT", topk)
     dec, params = decoder
     feats = jnp.asarray(rng.standard_normal((8, K, D)).astype(np.float32))
 
@@ -94,3 +98,56 @@ def test_depth_fusion_beam_kernel():
                            beam_size=3, max_length=8, use_pallas=True,
                            method=AttentionDecoder.beam_sample)
     np.testing.assert_array_equal(np.asarray(tok_xla), np.asarray(tok_ker))
+
+
+def test_stream_topk_all_ties_matches_xla(rng):
+    """Adversarial tie case for the streaming top-k: a zeroed vocab head
+    makes EVERY token's logit identical, so the flat top-k is decided
+    purely by lax.top_k's lowest-flat-index tie rule — the exact surface
+    where a streaming insert-order bug would show."""
+    dec = AttentionDecoder(vocab_size=VOCAB, dim_attention=8,
+                           dim_embedding=8, dim_encoder=D, dim_decoder=8)
+    feats0 = jnp.zeros((1, K, D))
+    caps = jnp.zeros((1, 5), jnp.int32)
+    params = dict(dec.init(jax.random.PRNGKey(0), feats0, caps)["params"])
+    params["out_w"] = jnp.zeros_like(params["out_w"])
+    params["out_b"] = jnp.zeros_like(params["out_b"])
+    feats = jnp.asarray(rng.standard_normal((8, K, D)).astype(np.float32))
+    tok_xla, _ = dec.apply({"params": params}, feats, 1, 2, beam_size=4,
+                           max_length=6, method=AttentionDecoder.beam_sample)
+    import depth_image_captioning_pub_tpu.ops.pallas.beam_seq as bs
+    assert "out_w" in params  # the zeroing actually hit the vocab head
+    old = bs.TOPK_DEFAULT
+    try:
+        bs.TOPK_DEFAULT = "stream"
+        tok_st, _ = dec.apply({"params": params}, feats, 1, 2, beam_size=4,
+                              max_length=6, use_pallas=True,
+                              method=AttentionDecoder.beam_sample)
+    finally:
+        bs.TOPK_DEFAULT = old
+    np.testing.assert_array_equal(np.asarray(tok_xla), np.asarray(tok_st))
+
+
+def test_stream_topk_multi_chunk(decoder, rng, monkeypatch):
+    """Force the streamed sheet across multiple chunks (chunk=128 against
+    vocab 37 padded to 128 would be one chunk; shrink the chunk cap so the
+    fori actually iterates) and check bit-equality with the iter kernel."""
+    import depth_image_captioning_pub_tpu.ops.pallas.beam_seq as bs
+    monkeypatch.setattr(bs, "_STREAM_CHUNK", 128)
+    # vocab 300 -> ceil128 = 384 -> chunk 128, 3 chunks, 84 pad lanes
+    dec = AttentionDecoder(vocab_size=300, dim_attention=8,
+                           dim_embedding=8, dim_encoder=D, dim_decoder=8)
+    feats0 = jnp.zeros((1, K, D))
+    caps = jnp.zeros((1, 5), jnp.int32)
+    params = dec.init(jax.random.PRNGKey(1), feats0, caps)["params"]
+    feats = jnp.asarray(rng.standard_normal((8, K, D)).astype(np.float32))
+    outs = {}
+    for topk in ("iter", "stream"):
+        monkeypatch.setattr(bs, "TOPK_DEFAULT", topk)
+        outs[topk] = dec.apply({"params": params}, feats, 1, 2,
+                               beam_size=5, max_length=8, use_pallas=True,
+                               method=AttentionDecoder.beam_sample)
+    np.testing.assert_array_equal(np.asarray(outs["iter"][0]),
+                                  np.asarray(outs["stream"][0]))
+    np.testing.assert_array_equal(np.asarray(outs["iter"][1]),
+                                  np.asarray(outs["stream"][1]))
