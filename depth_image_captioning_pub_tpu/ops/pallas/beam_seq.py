@@ -44,6 +44,25 @@ step (W*3 VPU sweeps of ~3 MB per program), while XLA's batched top_k over
 Mosaic-native top-k. Mosaic lessons recorded: minor-dim folding reshapes
 ([blk,W,V]->[blk,W*V]) and i1 minor-dim insertion are unsupported — use
 hierarchical reductions and rank-preserving one-hot compares instead.
+
+STREAMING TOP-K (round 3 follow-up, ALSO a recorded negative): the named
+future fix — replace iter's W*3 sheet sweeps with ONE streamed pass
+(topk="stream": VMEM scratch sheet + sorted top-W registers + data-
+dependent insert while-loops, see stream_topk) — was built, verified
+bit-identical to iter in interpret mode at equal and unequal block sizes
+(tests/test_beam_kernel.py), and measured on chip (tools/ab_beam_topk.py,
+batch 250 beam 5, 3 interleaved reps): XLA 2866-2892, iter blk16
+2492-2499, iter blk8 2526-2542, stream blk8 2454-2475 caps/s. The
+register insert's chunk-granular while-loops cost more than the avoided
+sheet re-reads (the sheet is VMEM-resident either way — re-reads were
+never the bottleneck; Mosaic's per-iteration loop overhead is). iter
+stays the default. Two further lessons: (1) blk=8 beats blk=16 for iter
+by ~1.7% at these shapes, (2) on REAL Mosaic the two strategies' tokens
+differ by ~0.01% near-tie argmax flips — the different selection code
+changes how Mosaic schedules the SAME model matmuls (layout-driven
+accumulation order), so cross-variant bitwise equality holds only in
+interpret mode; vs XLA both agree 96.62% (random weights; the
+--pallas-decode near-tie caveat in PARITY.md covers this).
 """
 
 from __future__ import annotations
@@ -66,11 +85,15 @@ NEG_INF = -1e9  # identical constant to ops/decode.NEG_INF
 
 # In-kernel top-k strategy. "stream": ONE pass over the score sheet with
 # sorted top-W registers (see the streaming block in _make_kernel) —
-# replaces "iter"'s W passes of (max, argmax, mask). Both are bit-exact
-# flat top-k with lax.top_k's tie order; the default is whichever measured
-# faster on chip (see module docstring).
+# replaces "iter"'s W passes of (max, argmax, mask). Both implement the
+# bit-exact flat top-k with lax.top_k's tie order (interpret-mode-pinned;
+# on chip the variants flip ~0.01% of near-tie argmaxes — module
+# docstring); "iter" measured faster on chip and is the default.
 TOPK_DEFAULT = "iter"
 _STREAM_CHUNK = 1024  # lanes per streamed chunk (multiple of 128)
+# A/B tooling: force the kernel block size (None = _pick_block). Resolved
+# at call time outside the jit boundary, like TOPK_DEFAULT.
+BLOCK_OVERRIDE: int | None = None
 
 
 def _stream_vp(vocab: int):
@@ -92,13 +115,23 @@ def _pick_block(bsz: int, w: int, k: int, d: int, a: int, v: int,
                 topk: str = "iter") -> int:
     vp = _stream_vp(v)[0] if topk == "stream" else v
     n_sheets = 4 if topk == "stream" else 3   # + the VMEM scratch sheet
+    # Calibrated against the Mosaic scoped-vmem report: at batch 250
+    # beam 5 vocab 9956 blk=16 the compiler measured 116.18M for the
+    # stream kernel where this formula said 78M (the extra is carried
+    # copies the liveness analysis keeps across the scratch write) — a
+    # 1.5x real/estimate ratio that OOMs the 112M scoped limit. "iter"
+    # at the same shapes compiles and runs, so the multiplier applies to
+    # stream only; it drops stream to blk=8 at the production shapes
+    # (2.0 rather than the measured ~1.5 for margin: the real blk=8
+    # footprint extrapolates to ~66M, comfortably inside the limit).
+    mult = 2.0 if topk == "stream" else 1.0
     for blk in (32, 16, 8):
         if bsz % blk:
             continue
         feats = blk * k * (d + a) * itemsize
         act = blk * w * k * a * 4
         sheets = blk * w * vp * 4 * n_sheets  # logits, logprobs, flat(+scr)
-        if feats + act + sheets + weight_bytes <= _VMEM_BUDGET:
+        if (feats + act + sheets) * mult + weight_bytes <= _VMEM_BUDGET:
             return blk
     return 8
 
@@ -202,14 +235,18 @@ def _make_kernel(max_length: int, start_id: int, end_id: int, beam: int,
                     S = sheet_ref[:, w_i, pl.ds(c_idx * ch, ch)]
                     cmax = jnp.max(S, axis=1)
 
+                    # registers are sorted descending, so their min IS the
+                    # last entry — jnp.min lowers to a Mosaic reduce, while
+                    # rv[:, -1] (integer indexing) becomes dynamic_slice,
+                    # which Mosaic cannot lower inside a while cond
                     def w_cond(wc):
                         _, cm, rv__, _, _ = wc
-                        want = (cm > rv__[:, -1]).astype(jnp.int32)
+                        want = (cm > jnp.min(rv__, axis=1)).astype(jnp.int32)
                         return jnp.sum(want) > 0
 
                     def w_body(wc):
                         S_, cm, rv__, rb__, rt__ = wc
-                        do = cm > rv__[:, -1]
+                        do = cm > jnp.min(rv__, axis=1)
                         carg = jnp.argmax(S_, axis=1).astype(jnp.int32)
                         rv__, rb__, rt__ = insert(
                             rv__, rb__, rt__, cm,
@@ -364,33 +401,40 @@ def fused_beam_decode(features: jax.Array, features_proj: jax.Array,
                       *, beam_size: int, max_length: int = 30,
                       start_id: int = 0, end_id: int = 0,
                       interpret: bool = False,
-                      topk: str | None = None) -> BeamSeqOutputs:
+                      topk: str | None = None,
+                      block: int | None = None) -> BeamSeqOutputs:
     """Run the whole beam search in one kernel; returns per-step records.
 
     features/h0/c0 are PER-IMAGE (untiled — the kernel broadcasts across
     beams internally). B must be a multiple of 8. ``topk`` picks the
     in-kernel selection strategy ("stream"/"iter", default TOPK_DEFAULT) —
-    both are bit-identical searches. Resolved HERE, outside the jit
-    boundary: resolving a None default inside the traced body would bake
-    the module default into the first trace and ignore later toggles.
+    both are bit-identical searches AT THE SAME BLOCK SIZE (different
+    blocks change matmul tiling, so near-tie argmax tokens can flip;
+    measured 1/7500 on chip at blk 16 vs 8). Resolved HERE, outside the
+    jit boundary: resolving a None default inside the traced body would
+    bake the module default into the first trace and ignore later
+    toggles. ``block`` overrides _pick_block (A/B and equality tooling).
     """
     if topk is None:
         topk = TOPK_DEFAULT
+    if block is None:
+        block = BLOCK_OVERRIDE
     assert topk in ("stream", "iter"), topk
     return _fused_beam_decode(features, features_proj, h0, c0, w,
                               beam_size=beam_size, max_length=max_length,
                               start_id=start_id, end_id=end_id,
-                              interpret=interpret, topk=topk)
+                              interpret=interpret, topk=topk, block=block)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("beam_size", "max_length", "start_id",
-                                    "end_id", "interpret", "topk"))
+                                    "end_id", "interpret", "topk", "block"))
 def _fused_beam_decode(features: jax.Array, features_proj: jax.Array,
                        h0: jax.Array, c0: jax.Array, w: DecodeSeqWeights,
                        *, beam_size: int, max_length: int,
                        start_id: int, end_id: int,
-                       interpret: bool, topk: str) -> BeamSeqOutputs:
+                       interpret: bool, topk: str,
+                       block: int | None = None) -> BeamSeqOutputs:
     bsz, k, d = features.shape
     assert bsz % 8 == 0, f"batch {bsz} must be a multiple of 8"
     a = features_proj.shape[-1]
@@ -400,8 +444,9 @@ def _fused_beam_decode(features: jax.Array, features_proj: jax.Array,
     flat_w = list(w.step) + [w.w_out, w.b_out, w.embed]
     weight_bytes = sum(int(np.prod(x.shape)) * jnp.dtype(x.dtype).itemsize
                        for x in flat_w)
-    blk = _pick_block(bsz, beam_size, k, d, a, vocab, itemsize, weight_bytes,
-                      topk=topk)
+    blk = block if block is not None else _pick_block(
+        bsz, beam_size, k, d, a, vocab, itemsize, weight_bytes, topk=topk)
+    assert bsz % blk == 0, (bsz, blk)
     grid = (bsz // blk,)
 
     def batch_spec(*shape):

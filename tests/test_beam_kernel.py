@@ -50,6 +50,30 @@ def test_kernel_matches_xla_beam_search(decoder, beam, length_penalty,
                                atol=1e-5)
 
 
+def test_block_override_bitwise_equal_across_strategies(decoder, rng,
+                                                        monkeypatch):
+    """At the SAME forced block size, iter and stream are bit-identical;
+    in interpret mode, block size itself doesn't change FP order either,
+    so all four (strategy x block) combinations must agree exactly. (On
+    chip, different blocks change matmul tiling — the A/B tool compares
+    bitwise only at equal blk; tools/ab_beam_topk.py.)"""
+    import depth_image_captioning_pub_tpu.ops.pallas.beam_seq as bs
+    dec, params = decoder
+    feats = jnp.asarray(rng.standard_normal((16, K, D)).astype(np.float32))
+
+    outs = {}
+    for topk in ("iter", "stream"):
+        for blk in (16, 8):
+            monkeypatch.setattr(bs, "TOPK_DEFAULT", topk)
+            monkeypatch.setattr(bs, "BLOCK_OVERRIDE", blk)
+            outs[(topk, blk)] = np.asarray(dec.apply(
+                {"params": params}, feats, 1, 2, beam_size=3, max_length=8,
+                use_pallas=True, method=AttentionDecoder.beam_sample)[0])
+    ref = outs[("iter", 16)]
+    for key, val in outs.items():
+        np.testing.assert_array_equal(ref, val, err_msg=str(key))
+
+
 def test_kernel_pads_non_multiple_batch(decoder, rng):
     """B not divisible by 8: the wrapper pads and slices back."""
     dec, params = decoder

@@ -10,8 +10,15 @@ Measures the full base-soft caption program (frozen ResNet-152 bf16 +
           (ONE sheet pass; see beam_seq.py)
 
 iter and stream run identical model math and copy (not recompute) the
-selected scores, so their tokens AND scores must be bit-identical on
-chip; vs XLA only FP accumulation order differs (agreement reported).
+selected scores — bit-identical in interpret mode (test-pinned). On real
+Mosaic the selection code changes how the model matmuls are scheduled
+(layout-driven accumulation order), so even at the SAME block size the
+variants flip ~0.01% of near-tie argmax tokens (measured 1/7500); the
+tool reports agreement and asserts it stays above 99.9%.
+
+MEASURED (2026-08-20, v5e, 3 interleaved reps): XLA 2866-2892, iter
+blk16 2492-2499, iter blk8 2526-2542, stream blk8 2454-2475 caps/s —
+stream is a recorded negative; see ops/pallas/beam_seq.py docstring.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/ab_beam_topk.py
 """
@@ -52,25 +59,28 @@ def main():
     key = jax.random.PRNGKey(0)
 
     fns, toks = {}, {}
-    variants = (("xla", False, None), ("iter", True, "iter"),
-                ("stream", True, "stream"))
-    for name, use_pallas, topk in variants:
+    # iter picks blk=16 at these shapes, stream blk=8 (_pick_block's
+    # calibrated VMEM estimate); iter8 forces iter to blk=8 so the
+    # iter-vs-stream bitwise check compares identical matmul tiling —
+    # across blocks, near-tie argmax tokens can flip (measured 1/7500).
+    variants = (("xla", False, None, None), ("iter", True, "iter", None),
+                ("iter8", True, "iter", 8), ("stream", True, "stream", None))
+    for name, use_pallas, topk, blk in variants:
         if topk is not None:
             beam_seq.TOPK_DEFAULT = topk
+        beam_seq.BLOCK_OVERRIDE = blk
         fn = make_caption_fn(cap, start_id=VOCAB - 4, max_length=MAX_LEN,
                              beam_size=BEAM, end_id=VOCAB - 3,
                              use_pallas=use_pallas)
         toks[name] = [np.asarray(fn(frozen, params, stats, s, key))
                       for s in staged]   # warm + force staged H2D
         fns[name] = fn
+    beam_seq.BLOCK_OVERRIDE = None
 
-    for a, b in (("xla", "iter"), ("xla", "stream")):
+    for a, b in (("xla", "iter"), ("xla", "stream"), ("iter", "stream")):
         agree = np.mean([np.mean(x == y)
                          for x, y in zip(toks[a], toks[b])])
         print(f"token agreement {a} vs {b}: {agree:.4%}")
-    for x, y in zip(toks["iter"], toks["stream"]):
-        np.testing.assert_array_equal(x, y)  # bitwise: same model math
-    print("iter == stream tokens: BITWISE OK")
 
     def run(fn):
         n_batches = N_IMAGES // BATCH
@@ -85,9 +95,19 @@ def main():
     # interleave to cancel drift
     for rep in range(3):
         line = []
-        for name in ("xla", "iter", "stream"):
+        for name in ("xla", "iter", "iter8", "stream"):
             line.append(f"{name} {run(fns[name]):.1f}")
         print(f"rep{rep}: " + "   ".join(line) + " caps/s")
+
+    # Same-block cross-strategy check LAST (after the timings print).
+    # Bitwise equality holds in interpret mode (test-pinned) but NOT on
+    # real Mosaic: the selection code changes how the SAME model matmuls
+    # get scheduled (layout-driven accumulation order), measured ~1/7500
+    # near-tie argmax flips at batch 250. Assert near-equality.
+    agree = np.mean([np.mean(x == y)
+                     for x, y in zip(toks["iter8"], toks["stream"])])
+    print(f"iter8 vs stream (same blk): {agree:.4%} token agreement")
+    assert agree > 0.999, agree
 
 
 if __name__ == "__main__":
