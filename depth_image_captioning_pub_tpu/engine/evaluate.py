@@ -39,7 +39,8 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
                     beam_size: int = 1, end_id: Optional[int] = None,
                     length_penalty: float = 0.0,
                     use_pallas: bool = False,
-                    sampling: Optional[Dict] = None) -> Callable:
+                    sampling: Optional[Dict] = None,
+                    pallas_mesh=None) -> Callable:
     """Build the jitted end-to-end caption function for one model config.
 
     Returns fn(frozen, trainable_params, batch_stats, images, rng) ->
@@ -58,6 +59,11 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
     decoding (AttentionDecoder.stochastic_sample /
     NICDecoder.stochastic_sample) — deterministic per the ``rng``
     argument; temperature -> 0 or top_k=1 reproduces greedy.
+
+    ``pallas_mesh`` (with ``use_pallas`` on a multi-chip host): the 1-axis
+    mesh the caller shards batches over — the whole-sequence kernels run
+    per-device batch shards via shard_map (pallas_call does not partition
+    under GSPMD). Callers must place images/params on the same mesh.
     """
     from depth_image_captioning_pub_tpu.models.decoder import AttentionDecoder
     from depth_image_captioning_pub_tpu.models.nic import NICDecoder
@@ -143,6 +149,7 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
                 beam_size=beam_size, max_length=max_length,
                 length_penalty=length_penalty, rng=rng,
                 use_pallas=use_pallas, early_exit=not use_pallas,
+                pallas_mesh=pallas_mesh,
                 method=AttentionDecoder.beam_sample)
             if return_cache:
                 return tokens, {"feats": feats, "depth_maps": depth_maps}
@@ -162,7 +169,8 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
         else:
             tokens, _ = sample_apply(params["decoder"], feats, start_id, dep,
                                      max_length=max_length, rng=rng,
-                                     end_id=end_id, use_pallas=use_pallas)
+                                     end_id=end_id, use_pallas=use_pallas,
+                                     pallas_mesh=pallas_mesh)
         if return_cache:
             return tokens, {"feats": feats, "depth_maps": depth_maps}
         return (tokens, depth_maps) if return_depth else tokens
@@ -348,22 +356,28 @@ def evaluate(kind: str, use_data: str, cap: Captioner,
     """
     cfg = cfg or ConfigEval()
     start_id = word_to_id[SPECIAL.start]
-    caption_fn = make_caption_fn(cap, start_id, cfg.max_length, depth_fn,
-                                 beam_size=beam_size,
-                                 end_id=word_to_id[SPECIAL.end],
-                                 use_pallas=use_pallas)
     # Data-parallel over every visible device, mirroring the train engine
     # (engine/train.py builds its mesh unconditionally): params replicated,
     # batch dim sharded, no flag needed. The reference is single-device
     # (config.py:68); this is the framework's own scaling capability.
-    # Pallas kernels are excluded — pallas_call under GSPMD would need a
-    # shard_map wrapper, and --pallas-decode is a single-chip knob.
+    # Pallas kernels don't partition under GSPMD; with --pallas-decode the
+    # whole-sequence kernels instead run per-device batch shards through
+    # their shard_map dispatch (pallas_mesh -> decode_seq.shard_over_batch,
+    # same mesh, no collectives), so multi-chip eval covers both paths.
     sharding = None
-    if jax.device_count() > 1 and not use_pallas:
+    pallas_mesh = None
+    if jax.device_count() > 1:
         from depth_image_captioning_pub_tpu.parallel.mesh import (
             batch_sharding, make_mesh, replicate)
         mesh = make_mesh()
         sharding = batch_sharding(mesh)
+        if use_pallas:
+            pallas_mesh = mesh
+    caption_fn = make_caption_fn(cap, start_id, cfg.max_length, depth_fn,
+                                 beam_size=beam_size,
+                                 end_id=word_to_id[SPECIAL.end],
+                                 use_pallas=use_pallas,
+                                 pallas_mesh=pallas_mesh)
     scores: Dict[str, List[float]] = {k: [] for k in METRIC_KEYS}
     # the disk cache makes even --num-sets 1 runs cacheable across
     # invocations, so it turns the machinery on by itself

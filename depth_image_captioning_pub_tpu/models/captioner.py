@@ -290,11 +290,12 @@ class Captioner:
             return apply
 
         def apply(dec_params, features, start_id, depth_features=None, *,
-                  max_length=30, rng=None, end_id=None, use_pallas=False):
+                  max_length=30, rng=None, end_id=None, use_pallas=False,
+                  pallas_mesh=None):
             return self.decoder.apply(
                 {"params": dec_params}, features, start_id, depth_features,
                 max_length=max_length, rng=rng, end_id=end_id,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, pallas_mesh=pallas_mesh,
                 method=AttentionDecoder.greedy_sample)
         return apply
 

@@ -220,7 +220,8 @@ class AttentionDecoder(nn.Module):
                       max_length: int = 30,
                       rng: Optional[jax.Array] = None,
                       use_pallas: bool = False,
-                      end_id: Optional[int] = None
+                      end_id: Optional[int] = None,
+                      pallas_mesh=None
                       ) -> Tuple[jax.Array, jax.Array]:
         """Batched greedy decode: one lax.scan, zero host syncs.
 
@@ -242,11 +243,14 @@ class AttentionDecoder(nn.Module):
         """
         if use_pallas and self.attention_kind == "soft":
             # throughput opt-in; end_id gives the kernel the same
-            # <end>-padding output semantics as the early-exit path
+            # <end>-padding output semantics as the early-exit path;
+            # pallas_mesh shards the kernel batch-wise over a multi-chip
+            # mesh (shard_map — pallas_call won't partition under GSPMD)
             return self._greedy_sample_pallas(features, start_id,
                                               depth_features,
                                               max_length=max_length,
-                                              end_id=end_id)
+                                              end_id=end_id,
+                                              mesh=pallas_mesh)
         if end_id is not None:
             return self._greedy_sample_early_exit(
                 features, start_id, end_id, depth_features,
@@ -365,7 +369,8 @@ class AttentionDecoder(nn.Module):
     def _greedy_sample_pallas(self, features: jax.Array, start_id: int,
                               depth_features: Optional[jax.Array], *,
                               max_length: int,
-                              end_id: Optional[int] = None
+                              end_id: Optional[int] = None,
+                              mesh=None
                               ) -> Tuple[jax.Array, jax.Array]:
         """Greedy decode with the whole-sequence Pallas kernel.
 
@@ -412,7 +417,7 @@ class AttentionDecoder(nn.Module):
                                      max_length=max_length,
                                      start_id=start_id,
                                      end_id=-1 if end_id is None else end_id,
-                                     interpret=interpret)
+                                     interpret=interpret, mesh=mesh)
         alphas = jnp.zeros((bsz, max_length, k), self.dtype)
         return tokens[:bsz], alphas
 
@@ -423,7 +428,8 @@ class AttentionDecoder(nn.Module):
                     length_penalty: float = 0.0,
                     rng: Optional[jax.Array] = None,
                     use_pallas: bool = False,
-                    early_exit: bool = False
+                    early_exit: bool = False,
+                    pallas_mesh=None
                     ) -> Tuple[jax.Array, jax.Array]:
         """Batched beam search, one lax.scan (ops/decode.beam_search).
 
@@ -445,7 +451,7 @@ class AttentionDecoder(nn.Module):
             return self._beam_sample_pallas(
                 features, start_id, end_id, depth_features,
                 beam_size=beam_size, max_length=max_length,
-                length_penalty=length_penalty)
+                length_penalty=length_penalty, mesh=pallas_mesh)
 
         features = self.fuse(features, depth_features).astype(self.dtype)
         features_proj = project_features(self._att_params(), features)
@@ -506,7 +512,7 @@ class AttentionDecoder(nn.Module):
                             end_id: int,
                             depth_features: Optional[jax.Array], *,
                             beam_size: int, max_length: int,
-                            length_penalty: float
+                            length_penalty: float, mesh=None
                             ) -> Tuple[jax.Array, jax.Array]:
         """Whole-search Pallas kernel path (ops/pallas/beam_seq.py)."""
         from depth_image_captioning_pub_tpu.ops.pallas.beam_seq import (
@@ -542,6 +548,6 @@ class AttentionDecoder(nn.Module):
         out = fused_beam_decode(features, features_proj, h, c, w,
                                 beam_size=beam_size, max_length=max_length,
                                 start_id=start_id, end_id=end_id,
-                                interpret=interpret)
+                                interpret=interpret, mesh=mesh)
         tokens, scores = select_best(out, end_id, length_penalty)
         return tokens[:bsz], scores[:bsz]

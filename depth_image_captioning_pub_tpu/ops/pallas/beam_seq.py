@@ -76,6 +76,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from depth_image_captioning_pub_tpu.ops.pallas import decode_seq
 from depth_image_captioning_pub_tpu.ops.pallas.decode_seq import (
     DecodeSeqWeights)
 
@@ -402,7 +403,8 @@ def fused_beam_decode(features: jax.Array, features_proj: jax.Array,
                       start_id: int = 0, end_id: int = 0,
                       interpret: bool = False,
                       topk: str | None = None,
-                      block: int | None = None) -> BeamSeqOutputs:
+                      block: int | None = None,
+                      mesh=None) -> BeamSeqOutputs:
     """Run the whole beam search in one kernel; returns per-step records.
 
     features/h0/c0 are PER-IMAGE (untiled — the kernel broadcasts across
@@ -414,16 +416,22 @@ def fused_beam_decode(features: jax.Array, features_proj: jax.Array,
     jit boundary: resolving a None default inside the traced body would
     bake the module default into the first trace and ignore later
     toggles. ``block`` overrides _pick_block (A/B and equality tooling).
+    ``mesh`` (multi-chip eval) runs per-device batch shards via shard_map,
+    exactly like decode_seq.fused_greedy_decode.
     """
     if topk is None:
         topk = TOPK_DEFAULT
     if block is None:
         block = BLOCK_OVERRIDE
     assert topk in ("stream", "iter"), topk
-    return _fused_beam_decode(features, features_proj, h0, c0, w,
-                              beam_size=beam_size, max_length=max_length,
-                              start_id=start_id, end_id=end_id,
-                              interpret=interpret, topk=topk, block=block)
+    impl = functools.partial(_fused_beam_decode, beam_size=beam_size,
+                             max_length=max_length, start_id=start_id,
+                             end_id=end_id, interpret=interpret, topk=topk,
+                             block=block)
+    if mesh is not None and mesh.size > 1:
+        return decode_seq.shard_over_batch(
+            impl, mesh, [features, features_proj, h0, c0], w)
+    return impl(features, features_proj, h0, c0, w)
 
 
 @functools.partial(jax.jit,

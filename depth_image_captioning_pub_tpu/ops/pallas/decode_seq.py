@@ -41,6 +41,42 @@ from depth_image_captioning_pub_tpu.ops.pallas.decode_step import (
 _VMEM_BUDGET = 96 * 1024 * 1024
 _VMEM_LIMIT = 110 * 1024 * 1024
 
+def shard_over_batch(fn, mesh, batch_args, w):
+    """Run ``fn(*batch_args, w)`` data-parallel over ``mesh``'s first axis.
+
+    ``batch_args`` are batch-leading arrays (sharded on dim 0); ``w`` is a
+    weights pytree (replicated). The global batch is first padded to a
+    device-divisible size (repeating row 0 — decode of a padded row is
+    discarded), and each shard then pads itself to the kernels' 8-row
+    Mosaic granule before the pallas_call and slices the pad back off, so
+    callers need no divisibility guarantees beyond batch >= 1. Outputs are
+    any pytree of batch-leading arrays.
+    """
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+    bsz = batch_args[0].shape[0]
+    gpad = (-bsz) % n
+
+    def pad0(x, p):
+        if not p:
+            return x
+        return jnp.concatenate([x, jnp.repeat(x[:1], p, axis=0)], axis=0)
+
+    padded = [pad0(x, gpad) for x in batch_args]
+
+    def body(*args):
+        *bargs, wtree = args
+        local = bargs[0].shape[0]
+        lpad = (-local) % 8
+        out = fn(*[pad0(x, lpad) for x in bargs], wtree)
+        return jax.tree_util.tree_map(lambda y: y[:local], out)
+
+    from jax.sharding import PartitionSpec as P
+    specs = tuple(P(axis) for _ in batch_args) + (P(),)
+    out = jax.shard_map(body, mesh=mesh, in_specs=specs,
+                        out_specs=P(axis), check_vma=False)(*padded, w)
+    return jax.tree_util.tree_map(lambda y: y[:bsz], out)
+
 
 class DecodeSeqWeights(NamedTuple):
     step: DecodeStepWeights
@@ -176,20 +212,40 @@ def _make_kernel(max_length: int, start_id: int, end_id: int):
     return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("max_length", "start_id", "end_id",
-                                    "interpret"))
 def fused_greedy_decode(features: jax.Array, features_proj: jax.Array,
                         h0: jax.Array, c0: jax.Array, w: DecodeSeqWeights,
                         *, max_length: int = 30, start_id: int = 0,
                         end_id: int = -1,
-                        interpret: bool = False) -> jax.Array:
+                        interpret: bool = False, mesh=None) -> jax.Array:
     """Whole-sequence greedy decode; returns tokens [B, max_length] int32.
 
     B must be a multiple of 8 (pad first, as greedy_sample does).
     ``end_id >= 0`` <end>-pads finished rows (same output as the XLA
     early-exit path; the kernel loop itself remains fixed-length).
+
+    ``mesh`` (a 1-axis ``jax.sharding.Mesh``, multi-chip eval): pallas_call
+    does not partition under GSPMD, so each device instead decodes its
+    batch shard in its own kernel launch via shard_map — same tokens, no
+    collectives (per-image decode is independent). Threaded down from
+    ``make_caption_fn(pallas_mesh=...)``.
     """
+    impl = functools.partial(_fused_greedy_decode, max_length=max_length,
+                             start_id=start_id, end_id=end_id,
+                             interpret=interpret)
+    if mesh is not None and mesh.size > 1:
+        return shard_over_batch(impl, mesh,
+                                [features, features_proj, h0, c0], w)
+    return impl(features, features_proj, h0, c0, w)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_length", "start_id", "end_id",
+                                    "interpret"))
+def _fused_greedy_decode(features: jax.Array, features_proj: jax.Array,
+                         h0: jax.Array, c0: jax.Array, w: DecodeSeqWeights,
+                         *, max_length: int = 30, start_id: int = 0,
+                         end_id: int = -1,
+                         interpret: bool = False) -> jax.Array:
     bsz, k, d = features.shape
     assert bsz % 8 == 0, f"batch {bsz} must be a multiple of 8"
     a = features_proj.shape[-1]

@@ -38,8 +38,10 @@ rounded up to device-divisible sizes, and each chunk is placed with its
 batch dim sharded — GSPMD splits the caption program per chip with no
 collectives (per-image work is independent). Captions are identical to the
 single-device pipeline's. Pass ``devices=[...]`` to restrict the mesh (one
-device = no sharding); ``use_pallas`` stays single-chip (a ``pallas_call``
-under GSPMD would need a shard_map wrapper).
+device = no sharding). ``use_pallas`` also data-parallelizes: pallas_call
+does not partition under GSPMD, so the whole-sequence decode kernels
+instead run per-device batch shards through their shard_map dispatch
+(ops/pallas/decode_seq.shard_over_batch) on the same mesh.
 """
 
 from __future__ import annotations
@@ -97,14 +99,18 @@ class CaptionPipeline:
             self.batch_buckets = (self.batch_size,)
         # Data-parallel over every visible device (or the given subset),
         # mirroring the eval engine: replicated params, batch dim sharded,
-        # buckets rounded up to device-divisible sizes. Single-chip hosts
-        # (and --pallas-decode) keep the unsharded path.
+        # buckets rounded up to device-divisible sizes. ``use_pallas``
+        # shards too — the whole-sequence kernels run per-device batch
+        # shards via their shard_map dispatch (pallas_mesh).
         self._sharding = None
+        pallas_mesh = None
         devices = list(devices) if devices is not None else jax.devices()
-        if len(devices) > 1 and not use_pallas:
+        if len(devices) > 1:
             from depth_image_captioning_pub_tpu.parallel.mesh import (
                 batch_sharding, make_mesh, pad_batch_to_devices, replicate)
             mesh = make_mesh(devices)
+            if use_pallas:
+                pallas_mesh = mesh
             self._sharding = batch_sharding(mesh)
             self.frozen = replicate(mesh, self.frozen)
             self.params = replicate(mesh, self.params)
@@ -125,6 +131,7 @@ class CaptionPipeline:
             depth_fn=depth_fn, beam_size=beam_size,
             end_id=word_to_id.get(SPECIAL.end),
             length_penalty=length_penalty, use_pallas=use_pallas,
+            pallas_mesh=pallas_mesh,
             sampling=({"temperature": temperature, "top_k": top_k,
                        "top_p": top_p} if sample else None))
 
