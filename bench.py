@@ -498,11 +498,19 @@ def wait_for_chip(attempts: int = 6, probe_timeout: int = 240,
     SUBPROCESS matters twice over: a hung probe can be killed without
     wedging this process, and jax caches a failed backend init per-process
     so the main process must not be the one that fails. No-op on CPU.
+
+    The probe runs a real jitted computation and fetches the result, not
+    just ``jax.devices()``: the 2026-08-17/20 outage mode passes backend
+    INIT and then hangs the first compile/execute forever (observed twice:
+    probe ok, the next process stuck at the axon warning for 9+ min). Only
+    a full device round-trip proves the chip is actually usable.
     """
     import subprocess
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         return
-    code = "import jax; d=jax.devices(); print(len(d))"
+    code = ("import jax, jax.numpy as jnp; "
+            "v = jax.jit(lambda x: (x + 1).sum())(jnp.ones(128)); "
+            "print(int(v.block_until_ready()))")
     for i in range(attempts):
         try:
             r = subprocess.run([sys.executable, "-c", code],
@@ -523,7 +531,28 @@ def wait_for_chip(attempts: int = 6, probe_timeout: int = 240,
     print("proceeding without a successful chip probe", file=sys.stderr)
 
 
+def _arm_watchdog():
+    """Abort (exit 2) if the whole bench exceeds $BENCH_WATCHDOG_S (default
+    5400 s; <= 0 disables). The axon outage mode hangs device EXECUTION
+    while probes can still pass — a driver-run bench must fail loudly with
+    a diagnosis on stderr, not hang forever holding the chip claim."""
+    import signal
+    budget = int(os.environ.get("BENCH_WATCHDOG_S", "5400"))
+    if budget <= 0:
+        return
+
+    def die(signum, frame):
+        print(f"bench watchdog: exceeded {budget}s — likely a stuck chip "
+              "claim (probe passed but execution hangs); aborting",
+              file=sys.stderr)
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, die)
+    signal.alarm(budget)
+
+
 def main():
+    _arm_watchdog()
     wait_for_chip()
     # torch baseline FIRST: after the JAX benches the 1-core process is
     # polluted (runtime threads, GC/RSS pressure) and the same torch loop
