@@ -111,7 +111,9 @@ def make_caption_fn(cap: Captioner, start_id: int, max_length: int = 30,
                     method=NICDecoder.stochastic_sample)
             else:
                 tokens = sample_apply(params["decoder"], feats,
-                                      max_length=max_length)
+                                      max_length=max_length,
+                                      use_pallas=use_pallas,
+                                      pallas_mesh=pallas_mesh)
             return (tokens, {"pooled": pooled}) if return_cache else tokens
         return caption_fn
 

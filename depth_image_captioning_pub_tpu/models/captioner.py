@@ -283,9 +283,11 @@ class Captioner:
     def sample_apply(self) -> Callable:
         """Greedy decode callable for the eval engine / benchmarks."""
         if self.spec.is_nic:
-            def apply(dec_params, features, *, max_length=30):
+            def apply(dec_params, features, *, max_length=30,
+                      use_pallas=False, pallas_mesh=None):
                 return self.decoder.apply(
                     {"params": dec_params}, features, max_length=max_length,
+                    use_pallas=use_pallas, pallas_mesh=pallas_mesh,
                     method=NICDecoder.greedy_sample)
             return apply
 

@@ -82,8 +82,23 @@ class NICDecoder(nn.Module):
         return outs @ self.out_w + self.out_b
 
     def greedy_sample(self, features: jax.Array, *,
-                      max_length: int = 30) -> jax.Array:
-        """Batched greedy decode, one lax.scan (reference: nic.py:150-175)."""
+                      max_length: int = 30,
+                      use_pallas: bool = False,
+                      pallas_mesh=None) -> jax.Array:
+        """Batched greedy decode, one lax.scan (reference: nic.py:150-175).
+
+        ``use_pallas`` runs the whole sequence in ONE kernel launch with
+        the embedding table, stacked-LSTM weights, and vocab head
+        VMEM-resident (ops/pallas/nic_seq.py — the NIC twin of the
+        attention decoder's whole-sequence kernel; greedy only, beam
+        stays on the XLA search). ``pallas_mesh`` shards the kernel
+        batch-wise over a multi-chip mesh, same dispatch as the
+        attention kernels.
+        """
+        if use_pallas:
+            return self._greedy_sample_pallas(features,
+                                              max_length=max_length,
+                                              mesh=pallas_mesh)
         bsz = features.shape[0]
         h, c = self._zero_state(bsz)
         x0 = features.astype(self.dtype)
@@ -98,6 +113,27 @@ class NICDecoder(nn.Module):
 
         _, tokens = jax.lax.scan(step, (x0, h, c), None, length=max_length)
         return jnp.swapaxes(tokens, 0, 1)
+
+    def _greedy_sample_pallas(self, features: jax.Array, *,
+                              max_length: int, mesh=None) -> jax.Array:
+        """Whole-sequence kernel path (ops/pallas/nic_seq.py); tokens
+        match the XLA scan (bit-identical in CPU interpret mode, pinned
+        by tests/test_nic_pallas.py)."""
+        from depth_image_captioning_pub_tpu.ops.pallas.nic_seq import (
+            fused_nic_greedy_decode, pack_nic_weights)
+        if self.dtype != jnp.float32:
+            raise ValueError("pallas NIC decode requires a float32 decoder "
+                             f"(got dtype={self.dtype})")
+        interpret = jax.default_backend() == "cpu"
+        w = pack_nic_weights(self.lstm, self.out_w, self.out_b, self.embed)
+        x0 = features.astype(self.dtype)
+        bsz = x0.shape[0]
+        pad = (-bsz) % 8   # Mosaic needs batch blocks divisible by 8
+        if pad:
+            x0 = jnp.concatenate([x0, jnp.repeat(x0[:1], pad, axis=0)], 0)
+        tokens = fused_nic_greedy_decode(x0, w, max_length=max_length,
+                                         interpret=interpret, mesh=mesh)
+        return tokens[:bsz]
 
     def stochastic_sample(self, features: jax.Array, rng: jax.Array, *,
                           max_length: int = 30, temperature: float = 1.0,
