@@ -40,6 +40,56 @@ HW = (224, 224)
 TRAIN_BATCH = 512        # r3 sweep: 128->2325 256->2700 512->2895 imgs/s
 TRAIN_DEPTH_BATCH = 48   # r3 sweep: 32->1788 48->2190 64->2135 128->1810
 
+# ---- driver-budget survival (r3 lesson: BENCH_r03 was rc=124/parsed=null
+# because the single end-of-run JSON print sat behind ~8 bench segments and
+# a 450 s chip-wait; the driver's timeout killed the process first). The
+# whole bench now works against ONE wall-clock budget: the headline JSON is
+# (re-)emitted after EVERY completed segment, tail segments are skipped
+# when the remaining budget cannot fit their estimated cost, and a watchdog
+# THREAD (a SIGALRM handler cannot run while the main thread is stuck
+# inside a hung device call — the 2026-08-17/20 outage mode) emits the
+# partial result before exiting. The driver parses the LAST JSON line, so
+# every emission upgrades the previous one.
+T0 = time.monotonic()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "3000"))
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197.0"))  # v5e bf16
+RESULT = {}          # mutated in place by main(); emitted incrementally
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - T0)
+
+
+def emit() -> None:
+    """Print the current (possibly partial) result as one flushed JSON line.
+
+    Flushing matters: a SIGKILL after timeout's SIGTERM would discard
+    buffered stdout, and the driver records only what reached the pipe."""
+    print(json.dumps(RESULT), flush=True)
+
+
+def flops_per_call(jitted, *args) -> float:
+    """Model FLOPs of one call via XLA's compiled-HLO cost analysis.
+
+    Called after the warmup compile so ``.compile()`` is a cache hit.
+    Returns None where the backend doesn't implement cost analysis."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception as e:
+        print(f"cost analysis unavailable: {e}", file=sys.stderr)
+        return None
+
+
+def mfu(rate_per_sec, batch, flops) -> float:
+    """Model-FLOPs utilization: (items/s ÷ batch) × FLOPs-per-batch-call ÷
+    chip peak ($BENCH_PEAK_TFLOPS, default 197 bf16 TFLOP/s on v5e)."""
+    if rate_per_sec is None or flops is None:
+        return None
+    return round(rate_per_sec / batch * flops / (PEAK_TFLOPS * 1e12), 4)
+
 
 def stable_rate(run_once, label: str, reps: int = 2, spread: float = 0.30,
                 max_reps: int = 4, cooldown: float = 10.0) -> float:
@@ -122,6 +172,7 @@ def bench_tpu():
         return N_IMAGES / dt
 
     full_rate = stable_rate(run_full, "base-soft")
+    fl = flops_per_call(fn, frozen, params, stats, staged[0], key)
 
     # cached-set rate: the program checkpoint sets 2-3 of a multi-set
     # eval run under the set cache (frozen ResNet features replayed; only
@@ -140,7 +191,8 @@ def bench_tpu():
         assert np.array_equal(tokens_c, tokens)  # the cache is exact
         return N_IMAGES / dt
 
-    return full_rate, stable_rate(run_cached, "base-soft-cached")
+    return full_rate, stable_rate(run_cached, "base-soft-cached"), \
+        mfu(full_rate, BATCH, fl)
 
 
 def bench_depth_tpu(n_images: int = 512, batch: int = 64):
@@ -197,6 +249,7 @@ def bench_depth_tpu(n_images: int = 512, batch: int = 64):
         return n_batches * batch / dt
 
     full_rate = stable_rate(run_full, "depth-soft")
+    fl = flops_per_call(fn, frozen, params, stats, staged[0], key)
 
     # cached-set rate: capture depth maps once (stays in HBM), then time
     # the DPT-free program. frozen_nodpt mirrors evaluate()'s "use" sets.
@@ -243,7 +296,7 @@ def bench_depth_tpu(n_images: int = 512, batch: int = 64):
     finally:
         dpt_mod.GELU_APPROXIMATE = False
 
-    return full_rate, cached_rate, tanh_rate
+    return full_rate, cached_rate, tanh_rate, mfu(full_rate, batch, fl)
 
 
 def bench_beam_tpu(n_images: int = 2000, batch: int = 250, beam: int = 5):
@@ -359,7 +412,8 @@ def bench_e2e_tpu(n_images: int = 4000, batch: int = 250):
 
 
 def bench_train_tpu(kind: str = "base-soft", batch: int = 256,
-                    steps: int = 20, features: bool = False) -> float:
+                    steps: int = 20, features: bool = False,
+                    mfu_out: dict = None) -> float:
     """Training-step throughput (images/s) of the exact jitted program
     ``engine/train.py`` runs per batch (normalize + frozen bf16 backbone
     under stop_gradient + teacher-forced decoder scan fwd/bwd + AdamW with
@@ -374,7 +428,8 @@ def bench_train_tpu(kind: str = "base-soft", batch: int = 256,
     spec = importlib.util.spec_from_file_location("bench_train", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return mod.bench_kind(kind, batch, steps, features=features)
+    return mod.bench_kind(kind, batch, steps, features=features,
+                          mfu_out=mfu_out)
 
 
 def bench_serve_tpu() -> dict:
@@ -488,9 +543,9 @@ def bench_torch_cpu(sample: int = 8, repeats: int = 3) -> float:
     return sample / times[0]          # fastest run = the honest capability
 
 
-def wait_for_chip(attempts: int = 6, probe_timeout: int = 240,
+def wait_for_chip(wait_budget: float = None, probe_timeout: int = 240,
                   backoff: int = 240) -> None:
-    """Block until the TPU backend can actually be claimed.
+    """Block until the TPU backend can actually be claimed — bounded.
 
     The axon chip admits ONE process; a lingering claim from a previous
     process makes backend init hang and then fail UNAVAILABLE (measured on
@@ -504,141 +559,214 @@ def wait_for_chip(attempts: int = 6, probe_timeout: int = 240,
     INIT and then hangs the first compile/execute forever (observed twice:
     probe ok, the next process stuck at the axon warning for 9+ min). Only
     a full device round-trip proves the chip is actually usable.
+
+    The wait is capped at ``wait_budget`` seconds (default: a third of
+    $BENCH_BUDGET_S, at most 900) — r3's bench lost 450 s to probing plus
+    claim-settling before measuring anything, and the driver's timeout
+    killed it mid-tail. A bench that can't claim the chip inside its share
+    of the budget proceeds anyway: better a loud in-process failure (the
+    watchdog emits partial JSON) than silently spending the whole window
+    waiting.
     """
     import subprocess
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         return
+    if wait_budget is None:
+        wait_budget = min(900.0, BUDGET_S / 3)
+    deadline = time.monotonic() + wait_budget
     code = ("import jax, jax.numpy as jnp; "
             "v = jax.jit(lambda x: (x + 1).sum())(jnp.ones(128)); "
             "print(int(v.block_until_ready()))")
-    for i in range(attempts):
+    attempt = 0
+    while True:
+        attempt += 1
+        left = deadline - time.monotonic()
         try:
             r = subprocess.run([sys.executable, "-c", code],
-                               timeout=probe_timeout, capture_output=True)
+                               timeout=min(probe_timeout, max(30, left)),
+                               capture_output=True)
             if r.returncode == 0:
                 # even a CLEAN exit leaves a lingering claim on this rig
                 # (verify skill: sleep ~200s between TPU processes), so
-                # pause before the main process claims.
-                print("chip probe ok; waiting 210s for the probe's claim "
-                      "to clear", file=sys.stderr)
-                time.sleep(210)
+                # pause before the main process claims — but never past
+                # the wait budget.
+                settle = min(210.0, max(0.0, deadline - time.monotonic()))
+                print(f"chip probe ok; waiting {settle:.0f}s for the "
+                      "probe's claim to clear", file=sys.stderr)
+                time.sleep(settle)
                 return
         except subprocess.TimeoutExpired:
             pass
-        print(f"chip claim unavailable (attempt {i + 1}/{attempts}); "
-              f"waiting {backoff}s", file=sys.stderr)
+        left = deadline - time.monotonic()
+        if left <= backoff:
+            print("chip wait budget exhausted; proceeding without a "
+                  "successful probe", file=sys.stderr)
+            return
+        print(f"chip claim unavailable (attempt {attempt}); "
+              f"waiting {backoff}s ({left:.0f}s of wait budget left)",
+              file=sys.stderr)
         time.sleep(backoff)
-    print("proceeding without a successful chip probe", file=sys.stderr)
 
 
 def _arm_watchdog():
-    """Abort (exit 2) if the whole bench exceeds $BENCH_WATCHDOG_S (default
-    5400 s; <= 0 disables). The axon outage mode hangs device EXECUTION
-    while probes can still pass — a driver-run bench must fail loudly with
-    a diagnosis on stderr, not hang forever holding the chip claim."""
-    import signal
-    budget = int(os.environ.get("BENCH_WATCHDOG_S", "5400"))
-    if budget <= 0:
-        return
+    """Emit the partial result and exit 2 if the bench overruns its budget
+    or the driver sends SIGTERM.
 
-    def die(signum, frame):
-        print(f"bench watchdog: exceeded {budget}s — likely a stuck chip "
-              "claim (probe passed but execution hangs); aborting",
+    Two mechanisms, because they cover different failure modes:
+    - a daemon THREAD that sleeps until $BENCH_WATCHDOG_S past arming
+      (default: remaining budget + 240 s grace; <= 0 disables) then emits
+      RESULT and ``os._exit(2)``. A thread, not SIGALRM: a Python signal
+      handler only runs when the interpreter regains control, which never
+      happens while the main thread is stuck inside a hung remote device
+      call — exactly the axon outage mode this defends against.
+    - a SIGTERM handler for the driver's ``timeout`` (rc=124 path): emit
+      whatever is measured so far before dying, since SIGKILL follows.
+    """
+    import signal
+    import threading
+    env = os.environ.get("BENCH_WATCHDOG_S", "")
+    budget = float(env) if env else max(60.0, _remaining()) + 240.0
+
+    def die(why):
+        emit()
+        print(f"bench watchdog: {why} — emitted partial results; exiting",
               file=sys.stderr)
         os._exit(2)
 
-    signal.signal(signal.SIGALRM, die)
-    signal.alarm(budget)
+    def on_term(signum, frame):
+        die(f"signal {signum}")
+
+    signal.signal(signal.SIGTERM, on_term)  # always: timeout sends SIGTERM
+
+    if budget <= 0:  # <= 0 disables only the overrun ticker
+        return
+
+    def ticker():
+        time.sleep(budget)
+        die(f"exceeded {budget:.0f}s — likely a stuck chip claim "
+            "(probe passed but execution hangs)")
+
+    threading.Thread(target=ticker, daemon=True).start()
+
+
+def run_segment(label: str, est_s: float, fn) -> None:
+    """Run one tail bench segment under the budget: skip it (with a stderr
+    note) when the remaining budget can't fit its estimated warm-cache
+    cost, swallow its failure (a tail segment must not kill the bench),
+    and re-emit the JSON line after it so a mid-tail kill still leaves the
+    best-so-far artifact as the last parseable line."""
+    if _remaining() < est_s + 60:
+        print(f"skipping {label}: {_remaining():.0f}s left < "
+              f"~{est_s}s estimated", file=sys.stderr)
+        return
+    try:
+        fn()
+    except Exception as e:
+        print(f"{label} bench failed: {e}", file=sys.stderr)
+    emit()
 
 
 def main():
-    _arm_watchdog()
     wait_for_chip()
+    _arm_watchdog()  # after the chip wait: probe time must not eat the
+    #                  watchdog budget (ADVICE r3), and the thread arms
+    #                  with whatever budget actually remains.
+    RESULT.update({
+        "metric": ("captions/sec/chip, COCO-val-4000-sized greedy decode "
+                   "(ResNet-152 + soft-attention LSTM, 30 steps, batch "
+                   f"{BATCH})"),
+        "value": None,
+        "unit": "captions/sec/chip",
+        "vs_baseline": None,
+    })
+    emit()  # parseable line exists before the first device call can hang
+
     # torch baseline FIRST: after the JAX benches the 1-core process is
     # polluted (runtime threads, GC/RSS pressure) and the same torch loop
     # measures ~3x slower, silently inflating vs_baseline (r3 measured
     # 0.65 caps/s in-process-after vs 1.95 standalone).
+    baseline = None
     try:
         baseline = bench_torch_cpu()
     except Exception as e:  # torch missing/broken should not kill the bench
         print(f"torch baseline failed: {e}", file=sys.stderr)
-        baseline = None
-    ours, ours_cached = bench_tpu()
-    try:
-        beam = bench_beam_tpu()
-    except Exception as e:
-        print(f"beam bench failed: {e}", file=sys.stderr)
-        beam = None
-    try:
-        depth, depth_cached, depth_tanh = bench_depth_tpu()
-    except Exception as e:  # secondary line must not kill the bench
-        print(f"depth-soft bench failed: {e}", file=sys.stderr)
-        depth = depth_cached = depth_tanh = None
-    try:
-        e2e, host_rate = bench_e2e_tpu()
-    except Exception as e:
-        print(f"e2e bench failed: {e}", file=sys.stderr)
-        e2e = host_rate = None
-    try:
-        train = bench_train_tpu("base-soft", TRAIN_BATCH)
-        train_depth = bench_train_tpu("depth-soft", TRAIN_DEPTH_BATCH)
-        train_fc = bench_train_tpu("base-soft", TRAIN_BATCH, features=True)
-    except Exception as e:
-        print(f"train bench failed: {e}", file=sys.stderr)
-        train = train_depth = train_fc = None
-    try:
-        srv = bench_serve_tpu()
-    except Exception as e:
-        print(f"serve bench failed: {e}", file=sys.stderr)
-        srv = None
-    result = {
-        "metric": ("captions/sec/chip, COCO-val-4000-sized greedy decode "
-                   "(ResNet-152 + soft-attention LSTM, 30 steps, batch "
-                   f"{BATCH})"),
+
+    # headline: always attempted, emitted the moment it lands
+    ours, ours_cached, mfu_greedy = bench_tpu()
+    RESULT.update({
         "value": round(ours, 2),
-        "unit": "captions/sec/chip",
         "vs_baseline": round(ours / baseline, 2) if baseline else None,
         # Cached-set rate: what checkpoint sets 2-3 of base_evaluation.py
         # run under the eval set cache (frozen ResNet features replayed,
-        # decoder-only program; exact — token equality asserted above).
+        # decoder-only program; exact — token equality asserted in-bench).
         "cached_captions_per_sec": round(ours_cached, 2),
+        # Model-FLOPs utilization of the headline program (flops via
+        # compiled-HLO cost analysis ÷ $BENCH_PEAK_TFLOPS, default 197
+        # bf16 TFLOP/s on v5e).
+        "mfu_greedy": mfu_greedy,
+    })
+    emit()
+
+    # tail segments, in decreasing artifact value; run_segment skips each
+    # when the remaining budget can't fit its estimated cost (warm-cache
+    # estimates from r3 measurements + margin).
+    def seg_depth():
+        depth, depth_cached, depth_tanh, mfu_depth = bench_depth_tpu()
+        RESULT.update({
+            # Flagship depth-soft pipeline (__graft_entry__.entry()):
+            # DPT-hybrid 384^2 + ResNet-152 + depth CNN + fused decode,
+            # batch 64; cached = sets 2-3 of depth_evaluation.py under the
+            # depth-eval cache (exact); tanh = the --gelu throughput knob
+            # (~1e-3 activation error, PERF.md).
+            "depth_soft_captions_per_sec": round(depth, 2),
+            "depth_soft_cached_captions_per_sec": round(depth_cached, 2),
+            "depth_soft_tanh_gelu_captions_per_sec": round(depth_tanh, 2),
+            "mfu_depth": mfu_depth,
+        })
+
+    def seg_beam():
         # Quality mode: --beam 5 through the XLA single-scan beam search
         # with exact early exit (batch 250, same staged-HBM clockwork).
-        "beam5_captions_per_sec": round(beam, 2) if beam else None,
-        # Flagship depth-soft pipeline (what __graft_entry__.entry() runs):
-        # DPT-hybrid 384^2 + ResNet-152 + depth CNN + fused decode, batch 64.
-        "depth_soft_captions_per_sec": round(depth, 2) if depth else None,
-        # Same program fed cached depth maps — what checkpoint sets 2-3 of
-        # depth_evaluation.py run (exact: DPT frozen, images fixed).
-        "depth_soft_cached_captions_per_sec":
-            round(depth_cached, 2) if depth_cached else None,
-        # The --gelu tanh throughput knob on the same full pipeline
-        # (tanh-approximate ViT GELU; ~1e-3 activation error, PERF.md).
-        "depth_soft_tanh_gelu_captions_per_sec":
-            round(depth_tanh, 2) if depth_tanh else None,
+        RESULT["beam5_captions_per_sec"] = round(bench_beam_tpu(), 2)
+
+    def seg_train():
+        # Jitted train-step throughput: base-soft, depth-soft in its
+        # steady-state cached-depth shape, and the --feature-cache steady
+        # state (frozen encoder precomputed; engine/feature_cache.py).
+        m = {}
+        train = bench_train_tpu("base-soft", TRAIN_BATCH, mfu_out=m)
+        RESULT["train_images_per_sec"] = round(train, 2)
+        RESULT["mfu_train"] = mfu(train, TRAIN_BATCH,
+                                  m.get("flops_per_step"))
+        emit()
+        RESULT["depth_train_images_per_sec"] = round(
+            bench_train_tpu("depth-soft", TRAIN_DEPTH_BATCH), 2)
+        emit()
+        RESULT["train_feature_cache_images_per_sec"] = round(
+            bench_train_tpu("base-soft", TRAIN_BATCH, features=True), 2)
+
+    def seg_e2e():
         # Host-in-the-loop eval path: JPEG decode from 480x640 sources +
-        # prefetch + transfer + decode + detokenize (bench_e2e_tpu), with
-        # the host-only decode pipeline rate as the bound diagnostic.
-        "e2e_captions_per_sec": round(e2e, 2) if e2e else None,
-        "e2e_host_pipeline_imgs_per_sec":
-            round(host_rate, 2) if host_rate else None,
-        # Jitted train-step throughput (bench_train_tpu): base-soft, and
-        # depth-soft in its steady-state cached-depth shape.
-        "train_images_per_sec": round(train, 2) if train else None,
-        "depth_train_images_per_sec":
-            round(train_depth, 2) if train_depth else None,
-        # --feature-cache steady state: the frozen encoder is precomputed
-        # per image, the step trains from cached features (1.95x measured;
-        # engine/feature_cache.py, PERF.md).
-        "train_feature_cache_images_per_sec":
-            round(train_fc, 2) if train_fc else None,
+        # prefetch + transfer + decode + detokenize, with the host-only
+        # pipeline rate as the bottleneck diagnostic (host-bound on this
+        # 1-core rig; see PERF.md).
+        e2e, host_rate = bench_e2e_tpu()
+        RESULT["e2e_captions_per_sec"] = round(e2e, 2)
+        RESULT["e2e_host_pipeline_imgs_per_sec"] = round(host_rate, 2)
+
+    def seg_serve():
         # HTTP serving via serve.py (bucketed batches; includes host JPEG
         # decode and, on this rig, the ~30 MB/s tunnel).
-        "serve_latency_p50_ms": round(srv["p50_ms"], 1) if srv else None,
-        "serve_caps_per_sec":
-            round(srv["caps_per_sec"], 1) if srv else None,
-    }
-    print(json.dumps(result))
+        srv = bench_serve_tpu()
+        RESULT["serve_latency_p50_ms"] = round(srv["p50_ms"], 1)
+        RESULT["serve_caps_per_sec"] = round(srv["caps_per_sec"], 1)
+
+    run_segment("depth-soft", 500, seg_depth)
+    run_segment("beam", 200, seg_beam)
+    run_segment("train", 500, seg_train)
+    run_segment("e2e", 400, seg_e2e)
+    run_segment("serve", 300, seg_serve)
+    emit()  # final (possibly identical) line; the driver parses the last
 
 
 if __name__ == "__main__":

@@ -55,7 +55,7 @@ def make_batch(batch: int, uses_depth: bool, seed: int = 0):
 
 def bench_kind(kind: str, batch: int, steps: int = 30,
                decoder_dtype=jnp.float32, accum: int = 1,
-               features: bool = False) -> float:
+               features: bool = False, mfu_out: dict = None) -> float:
     from depth_image_captioning_pub_tpu.cli import resnet_layers_from_env
     cfg = ConfigTrain()
     cap = build_captioner(kind, VOCAB, cfg,
@@ -88,6 +88,22 @@ def bench_kind(kind: str, batch: int, steps: int = 30,
         dev_batch["features"] = feats
     temp = jnp.float32(1.0)
     key = jax.random.PRNGKey(0)
+
+    if mfu_out is not None:
+        # FLOPs per step via compiled-HLO cost analysis (bench.py turns it
+        # into an MFU key). MUST run before the first real call: the step
+        # donates its TrainState, and lowering from donated-deleted arrays
+        # raises. lower/compile here is the same executable the warmup
+        # compiles — one cache entry, no extra compile.
+        try:
+            a = (state, dev_batch, key) if kind == "nic" \
+                else (state, dev_batch, key, temp)
+            ca = fn.lower(*a).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            mfu_out["flops_per_step"] = float(ca["flops"])
+        except Exception as e:
+            print(f"train cost analysis unavailable: {e}", file=sys.stderr)
 
     def one(state, i):
         rng = jax.random.fold_in(key, i)
