@@ -27,6 +27,13 @@ variable (or set programmatically via :func:`set_meteor_data`):
   are skipped (a residual, documented underestimate vs the jar, which
   aligns phrase blocks).
 
+``tools/export_meteor_data.py`` builds all three files: WordNet synsets via
+nltk (``python -m nltk.downloader wordnet`` once, on a connected machine),
+a single-word filter for the jar's paraphrase table, and a function-word
+normalizer. File-to-score coverage: tests/test_meteor_fixture.py pins a
+worked example through the env hooks against the hand-evaluated METEOR 1.5
+formula chain.
+
 Remaining deviations from the jar when no data files are given:
 
 * Fewer matcher stages find fewer matches, so scores are a slight

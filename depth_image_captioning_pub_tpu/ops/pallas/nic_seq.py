@@ -24,6 +24,12 @@ layer's h' feeds the vocab head. Biases are pre-summed on the host side
 Multi-chip: ``mesh`` routes through decode_seq.shard_over_batch (one
 kernel launch per device on its batch shard), identical to the attention
 kernels.
+
+Validation status: CPU interpret-mode bit-equality is pinned
+(tests/test_nic_pallas.py); real-Mosaic compile/equality on the TPU chip
+is pending this round's hardware drive (the kernel shipped during a chip
+outage — ADVICE r3). Until then ``--pallas-decode`` on NIC is
+chip-unvalidated; the XLA scan path is the default and unaffected.
 """
 
 from __future__ import annotations
