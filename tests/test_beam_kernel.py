@@ -11,6 +11,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# Compile-heavy single-device tests (pipeline caches / DPT twins /
+# interpret-mode kernels): their own suite chunk on slow rigs --
+# `pytest -m heavy` (README Testing section).
+pytestmark = pytest.mark.heavy
+
 from depth_image_captioning_pub_tpu.models.decoder import AttentionDecoder
 
 VOCAB, K, D = 37, 12, 16

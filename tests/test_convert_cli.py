@@ -11,6 +11,10 @@ import sys
 import numpy as np
 import pytest
 
+# Heavy CLI / engine end-to-end tests (subprocess compiles): the third
+# suite chunk on slow rigs — `pytest -m e2e` (README Testing section).
+pytestmark = pytest.mark.e2e
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 torch = pytest.importorskip("torch")

@@ -7,6 +7,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# Compile-heavy single-device tests (pipeline caches / DPT twins /
+# interpret-mode kernels): their own suite chunk on slow rigs --
+# `pytest -m heavy` (README Testing section).
+pytestmark = pytest.mark.heavy
+
 torch = pytest.importorskip("torch")
 
 

@@ -10,6 +10,10 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# Heavy CLI / engine end-to-end tests (subprocess compiles): the third
+# suite chunk on slow rigs — `pytest -m e2e` (README Testing section).
+pytestmark = pytest.mark.e2e
+
 from depth_image_captioning_pub_tpu.config import ConfigEval, ConfigTrain
 from depth_image_captioning_pub_tpu.data.coco import CocoCaptions
 from depth_image_captioning_pub_tpu.data.vocab import (

@@ -13,6 +13,12 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+
+# 8-virtual-device collective tests: their XLA rendezvous SIGABRTs when
+# starved >~40 s on a contended 1-core host (STATUS.md) — run this chunk
+# solo: `pytest -m multidevice`; everything else: `pytest -m 'not
+# multidevice'` (README Testing section).
+pytestmark = pytest.mark.multidevice
 from depth_image_captioning_pub_tpu.config import ConfigEval
 from depth_image_captioning_pub_tpu.data.coco import CocoCaptions
 from depth_image_captioning_pub_tpu.data.tokenizer import SPECIAL

@@ -15,6 +15,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Compile-heavy single-device tests (pipeline caches / DPT twins /
+# interpret-mode kernels): their own suite chunk on slow rigs --
+# `pytest -m heavy` (README Testing section).
+pytestmark = pytest.mark.heavy
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from depth_image_captioning_pub_tpu.config import ConfigTrain

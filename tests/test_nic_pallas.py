@@ -49,6 +49,7 @@ def test_kernel_matches_xla_scan(nic):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.multidevice
 def test_sharded_kernel_matches_single(nic):
     """mesh= routes through decode_seq.shard_over_batch: bit-identical on
     the 8-device CPU mesh, incl. a batch that needs both pad layers

@@ -147,6 +147,7 @@ def test_depth_pipeline_direct(coco_tree):  # noqa: F811
                         w2i, i2w)
 
 
+@pytest.mark.multidevice
 def test_pipeline_sharded_equals_single(coco_tree):  # noqa: F811
     """On a multi-device host the pipeline auto-shards the batch dim over
     the mesh (replicated params, GSPMD split); captions must equal the

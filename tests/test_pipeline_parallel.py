@@ -11,6 +11,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+
+# 8-virtual-device collective tests: their XLA rendezvous SIGABRTs when
+# starved >~40 s on a contended 1-core host (STATUS.md) — run this chunk
+# solo: `pytest -m multidevice`; everything else: `pytest -m 'not
+# multidevice'` (README Testing section).
+pytestmark = pytest.mark.multidevice
 from depth_image_captioning_pub_tpu.parallel.pp import (
     make_stage_mesh, pipeline_stage_outputs, stack_block_params,
     vit_taps_pipelined)
