@@ -270,33 +270,41 @@ def bench_depth_tpu(n_images: int = 512, batch: int = 64):
 
     cached_rate = stable_rate(run_cached, "depth-soft-cached")
 
-    # throughput-knob rate: the SAME full pipeline with --gelu tanh
-    # (models/dpt.GELU_APPROXIMATE — tanh-approximate ViT GELU, ~1e-3
-    # activation error; measured ~1.05x in r3). A fresh trace is required
-    # (the knob is read at trace time), so build a second caption fn.
+    # throughput-knob rates: the SAME full pipeline under each opt-in
+    # approximation knob (read at trace time, so each needs a fresh
+    # caption fn): --gelu tanh (dpt.GELU_APPROXIMATE, ~1e-3 activation
+    # error, ~1.05x in r3) and --dpt-head lowres (dpt.HEAD_LOW_RES, head
+    # convs before the x2 upsample).
     from depth_image_captioning_pub_tpu.models import dpt as dpt_mod
-    dpt_mod.GELU_APPROXIMATE = True
-    try:
-        est_t = DPTDepthEstimator(dtype=jnp.bfloat16)
-        fn_t = make_caption_fn(cap, start_id=VOCAB - 4, max_length=MAX_LEN,
-                               depth_fn=est_t.depth_fn())
-        for s in staged:  # compile (params/staged buffers already on device)
-            np.asarray(fn_t(frozen, params, stats, s, key))
 
-        def run_tanh():
-            t0 = time.perf_counter()
-            outs = [fn_t(frozen, params, stats, staged[i % n_stage], key)
-                    for i in range(n_batches)]
-            toks = np.asarray(jnp.concatenate(outs, axis=0))
-            dt = time.perf_counter() - t0
-            assert toks.shape == (n_batches * batch, MAX_LEN)
-            return n_batches * batch / dt
+    def knob_rate(attr, label):
+        setattr(dpt_mod, attr, True)
+        try:
+            est_k = DPTDepthEstimator(dtype=jnp.bfloat16)
+            fn_k = make_caption_fn(cap, start_id=VOCAB - 4,
+                                   max_length=MAX_LEN,
+                                   depth_fn=est_k.depth_fn())
+            for s in staged:   # compile (buffers already on device)
+                np.asarray(fn_k(frozen, params, stats, s, key))
 
-        tanh_rate = stable_rate(run_tanh, "depth-soft-tanh")
-    finally:
-        dpt_mod.GELU_APPROXIMATE = False
+            def run_knob():
+                t0 = time.perf_counter()
+                outs = [fn_k(frozen, params, stats, staged[i % n_stage],
+                             key) for i in range(n_batches)]
+                toks = np.asarray(jnp.concatenate(outs, axis=0))
+                dt = time.perf_counter() - t0
+                assert toks.shape == (n_batches * batch, MAX_LEN)
+                return n_batches * batch / dt
 
-    return full_rate, cached_rate, tanh_rate, mfu(full_rate, batch, fl)
+            return stable_rate(run_knob, label)
+        finally:
+            setattr(dpt_mod, attr, False)
+
+    tanh_rate = knob_rate("GELU_APPROXIMATE", "depth-soft-tanh")
+    lowres_rate = knob_rate("HEAD_LOW_RES", "depth-soft-lowres-head")
+
+    return full_rate, cached_rate, tanh_rate, lowres_rate, \
+        mfu(full_rate, batch, fl)
 
 
 def bench_beam_tpu(n_images: int = 2000, batch: int = 250, beam: int = 5):
@@ -711,16 +719,20 @@ def main():
     # when the remaining budget can't fit its estimated cost (warm-cache
     # estimates from r3 measurements + margin).
     def seg_depth():
-        depth, depth_cached, depth_tanh, mfu_depth = bench_depth_tpu()
+        (depth, depth_cached, depth_tanh, depth_lowres,
+         mfu_depth) = bench_depth_tpu()
         RESULT.update({
             # Flagship depth-soft pipeline (__graft_entry__.entry()):
             # DPT-hybrid 384^2 + ResNet-152 + depth CNN + fused decode,
             # batch 64; cached = sets 2-3 of depth_evaluation.py under the
             # depth-eval cache (exact); tanh = the --gelu throughput knob
-            # (~1e-3 activation error, PERF.md).
+            # (~1e-3 activation error); lowres = the --dpt-head lowres
+            # knob (head convs pre-upsample; both PERF.md).
             "depth_soft_captions_per_sec": round(depth, 2),
             "depth_soft_cached_captions_per_sec": round(depth_cached, 2),
             "depth_soft_tanh_gelu_captions_per_sec": round(depth_tanh, 2),
+            "depth_soft_lowres_head_captions_per_sec":
+                round(depth_lowres, 2),
             "mfu_depth": mfu_depth,
         })
 

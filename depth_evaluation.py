@@ -21,6 +21,7 @@ Extra flags (new): --dpt-weights PATH (replaces the reference's hardcoded
 --eval-cache-dir DIR (persist the frozen-stage outputs: later invocations
 replay ResNet features + DPT maps bit-exactly, engine/eval_cache_store.py);
 --gelu {erf,tanh} (tanh-approximate DPT GELU: +5.4% throughput, PERF.md);
+--dpt-head {full,lowres} (head convs before the x2 upsample, PERF.md);
 --mlp
 (evaluate the MLP-depth mdepth_* checkpoints depth_main's mlp mode trains —
 the reference has no working MLP eval, SURVEY §4.1).
@@ -63,6 +64,10 @@ def main(argv=None):
             # approximation: measured +5.4% depth-soft throughput (PERF.md)
             # at ~1e-3 relative activation error; "erf" (default) is parity
             cfg.dpt_gelu = next(it)
+        elif a == "--dpt-head":
+            # "lowres": head convs before the x2 upsample (throughput knob,
+            # PERF.md); "full" (default) is the reference head order
+            cfg.dpt_head = next(it)
         elif a == "--num-sets":
             num_sets = int(next(it))
         elif a == "--beam":

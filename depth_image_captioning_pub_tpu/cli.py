@@ -99,6 +99,12 @@ def make_depth_fn(cfg, dtype=None):
     # embeds this DPT is traced. Process-wide by design (one deployment runs
     # one flavor); the parity default is exact erf.
     dpt_mod.GELU_APPROXIMATE = gelu == "tanh"
+    head = getattr(cfg, "dpt_head", "full")
+    if head not in ("full", "lowres"):
+        raise ValueError(f"dpt_head must be 'full' or 'lowres', got {head!r}")
+    # --dpt-head lowres: monocular-head convs before the x2 upsample —
+    # throughput-over-parity knob like --gelu tanh (dpt.HEAD_LOW_RES).
+    dpt_mod.HEAD_LOW_RES = head == "lowres"
     est = DPTDepthEstimator(dtype=dtype or jnp.bfloat16,
                             image_size=getattr(cfg, "dpt_image_size", 384))
     if os.environ.get("DCAP_TINY_DPT"):  # test/dev hook: shrink DPT

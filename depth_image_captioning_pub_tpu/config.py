@@ -99,6 +99,9 @@ class ConfigTrain:
     # depth-soft throughput knob (models/dpt.GELU_APPROXIMATE, PERF.md) at
     # ~1e-3 relative activation error. CLI: --gelu {erf,tanh}.
     dpt_gelu: str = "erf"
+    # "lowres" runs the monocular-head convs before its x2 upsample
+    # (throughput-over-parity knob, models/dpt.HEAD_LOW_RES; PERF.md)
+    dpt_head: str = "full"
 
     # Host data pipeline (reference: config.py:65 num_workers=4)
     num_workers: int = 4

@@ -55,6 +55,17 @@ TOKEN_PAD_MULTIPLE = 8
 # throughput-over-parity deployments. A/B numbers live in STATUS.md.
 GELU_APPROXIMATE = False
 
+# Opt-in low-resolution monocular head (--dpt-head lowres): run head_conv2/
+# conv3 BEFORE the head's x2 upsample (conv-then-resize instead of the
+# reference's resize-then-conv, dpt_depth.py:91-99), so the 3x3 convs see
+# 1/4 the pixels and the align-corners x2 interp moves from 128 channels
+# to the final single channel (~128x less resize bandwidth). NOT exact —
+# 3x3 convs don't commute with resize (the r3 head ablation's arithmetic:
+# position-varying align-corners weights rule out an exact fusion), so
+# like GELU_APPROXIMATE this is a documented throughput-over-parity knob,
+# never the default. Output shape is unchanged. A/B numbers: PERF.md.
+HEAD_LOW_RES = False
+
 # Optional sequence parallelism: a jax.sharding.NamedSharding for the
 # [B, N, C] token activations (e.g. NamedSharding(mesh, P("data", "model",
 # None))). When set, every ViTBlock boundary constrains its output to it,
@@ -538,7 +549,8 @@ class DPTDepthModel(nn.Module):
             return path1[..., 0]
         y = nn.Conv(self.features // 2, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=jnp.float32, name="head_conv1")(path1)
-        y = resize_align_corners(y, (y.shape[1] * 2, y.shape[2] * 2))
+        if not HEAD_LOW_RES:
+            y = resize_align_corners(y, (y.shape[1] * 2, y.shape[2] * 2))
         if ABLATE == "head_tail":      # perf-ablation stand-in, see ABLATE
             return y[..., 0]
         y = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype,
@@ -547,6 +559,10 @@ class DPTDepthModel(nn.Module):
         y = nn.Conv(1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
                     name="head_conv3")(y)
         y = nn.relu(y)                                 # non_negative=True
+        if HEAD_LOW_RES:
+            # deferred x2: same output shape, interp on 1 channel instead
+            # of 128 (HEAD_LOW_RES knob comment above; NOT exact)
+            y = resize_align_corners(y, (y.shape[1] * 2, y.shape[2] * 2))
         return y[..., 0]
 
 

@@ -280,6 +280,10 @@ def main(argv=None) -> int:
                    help="DPT ViT GELU flavor (depth kinds only): tanh = "
                         "+5.4%% depth-soft throughput, ~1e-3 activation "
                         "error vs the exact-erf parity default (PERF.md)")
+    p.add_argument("--dpt-head", default="full", choices=("full", "lowres"),
+                   help="monocular-head flavor (depth kinds only): lowres "
+                        "runs the head convs before its x2 upsample — "
+                        "throughput-over-parity knob like --gelu (PERF.md)")
     p.add_argument("--export-dir", default=None,
                    help="serve a dcap-export AOT artifact instead of "
                         "exp_result/ checkpoints (decode settings are baked "
@@ -299,10 +303,11 @@ def main(argv=None) -> int:
         import jax
         devices = jax.devices()[:args.devices]
     cfg = None
-    if args.gelu != "erf":
+    if args.gelu != "erf" or args.dpt_head != "full":
         from depth_image_captioning_pub_tpu.config import ConfigEval
         cfg = ConfigEval()
         cfg.dpt_gelu = args.gelu
+        cfg.dpt_head = args.dpt_head
     pipe = CaptionPipeline.from_experiment(
         args.kind, args.use_data, cfg=cfg, set_idx=args.set_idx,
         beam_size=args.beam, batch_size=args.batch_size,

@@ -10,7 +10,8 @@ that don't exist, calls with wrong arity, and leaves the mlp paths as
 
 Optional flags (new): --epochs N  --exp-time N  --resnet-weights PATH
 --grad-accum K  --decoder-dtype {float32|bfloat16}
---dpt-weights PATH  --no-depth-cache  --gelu {erf,tanh} (tanh-approximate
+--dpt-weights PATH  --no-depth-cache  --dpt-head {full,lowres}
+--gelu {erf,tanh} (tanh-approximate
 DPT GELU throughput knob, PERF.md)
 --checkpoint-every N  --resume  --checkpoint-keep K (full-state
 checkpoints + SIGTERM preemption tolerance with exact mid-epoch resume;
@@ -55,6 +56,9 @@ def _parse_flags(args):
             # tanh-approximate DPT GELU (throughput knob, see PERF.md);
             # affects only the frozen DPT's depth maps, not the trained model
             cfg.dpt_gelu = next(it)
+        elif a == "--dpt-head":
+            # "lowres": head convs before the x2 upsample (throughput knob)
+            cfg.dpt_head = next(it)
         elif a == "--grad-accum":
             cfg.grad_accum = int(next(it))
         elif a == "--decoder-dtype":

@@ -535,3 +535,55 @@ def test_make_depth_fn_applies_gelu_knob(monkeypatch, tmp_path):
             cli.make_depth_fn(cfg)
     finally:
         dpt_mod.GELU_APPROXIMATE = False
+
+
+def test_head_lowres_knob():
+    """HEAD_LOW_RES (--dpt-head lowres): same output shape and params, head
+    convs run pre-upsample — a documented approximation, so the result must
+    DIFFER from the default (falsifiable knob) while staying non-negative
+    (the head's final relu) and using the identical variable set."""
+    import numpy as np
+    from depth_image_captioning_pub_tpu.models import dpt as dpt_mod
+    from depth_image_captioning_pub_tpu.models.dpt import DPTDepthModel
+
+    model = DPTDepthModel(vit_blocks=2, hooks=(0, 1), resnet_layers=(1, 1, 1),
+                          vit_dim=64, vit_heads=4, features=32,
+                          dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    full = model.apply(variables, x)
+    assert dpt_mod.HEAD_LOW_RES is False        # parity default
+    dpt_mod.HEAD_LOW_RES = True
+    try:
+        # identical variable structure: the knob reorders ops, no reinit
+        v2 = model.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(v2) == \
+            jax.tree_util.tree_structure(variables)
+        low = model.apply(variables, x)
+    finally:
+        dpt_mod.HEAD_LOW_RES = False
+    assert low.shape == full.shape
+    assert np.all(np.asarray(low) >= 0)
+    assert not np.allclose(np.asarray(low), np.asarray(full))
+
+
+def test_head_lowres_cli_threading(tmp_path, monkeypatch):
+    """--dpt-head reaches dpt.HEAD_LOW_RES through cli.make_depth_fn and
+    rejects unknown values."""
+    import pytest
+    from depth_image_captioning_pub_tpu import cli
+    from depth_image_captioning_pub_tpu.config import ConfigTrain
+    from depth_image_captioning_pub_tpu.models import dpt as dpt_mod
+
+    monkeypatch.setenv("DCAP_TINY_DPT", "1")
+    cfg = ConfigTrain()
+    cfg.dpt_head = "lowres"
+    try:
+        cli.make_depth_fn(cfg)
+        assert dpt_mod.HEAD_LOW_RES is True
+    finally:
+        dpt_mod.HEAD_LOW_RES = False
+    cfg.dpt_head = "sideways"
+    with pytest.raises(ValueError):
+        cli.make_depth_fn(cfg)

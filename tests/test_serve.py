@@ -328,3 +328,32 @@ def test_submit_after_stop_refused():
     svc.stop()
     with _pytest.raises(RuntimeError, match="shutting down"):
         svc.submit(np.zeros((4, 4, 3), np.uint8))
+
+
+def test_main_threads_dpt_head_flag(monkeypatch):
+    """`dcap-serve --dpt-head lowres` builds a cfg with dpt_head set (same
+    flag-threading layer as --gelu)."""
+    import depth_image_captioning_pub_tpu.serve as serve_mod
+
+    seen = {}
+
+    def fake_from_experiment(kind, use_data, **kw):
+        seen.update(kind=kind, use_data=use_data, **kw)
+        return object()
+
+    class FakeHTTPD:
+        def serve_forever(self):
+            raise KeyboardInterrupt
+        service = type("S", (), {"stop": staticmethod(lambda: None)})()
+
+        def server_close(self):
+            pass
+
+    monkeypatch.setattr(
+        "depth_image_captioning_pub_tpu.pipeline.CaptionPipeline."
+        "from_experiment", staticmethod(fake_from_experiment))
+    monkeypatch.setattr(serve_mod, "serve", lambda *a, **k: FakeHTTPD())
+    rc = serve_mod.main(["--kind", "depth-soft", "--dpt-head", "lowres"])
+    assert rc == 0
+    assert seen["cfg"].dpt_head == "lowres"
+    assert seen["cfg"].dpt_gelu == "erf"
