@@ -191,8 +191,41 @@ def bench_tpu():
         assert np.array_equal(tokens_c, tokens)  # the cache is exact
         return N_IMAGES / dt
 
-    return full_rate, stable_rate(run_cached, "base-soft-cached"), \
-        mfu(full_rate, BATCH, fl)
+    cached_rate = stable_rate(run_cached, "base-soft-cached")
+
+    # cached + --pallas-decode: on the decoder-only cached program the
+    # whole-sequence kernel's 1.9x decode win finally surfaces end to end
+    # (r4 measured 1.66-1.71x; a TIE on the encoder-dominated full
+    # pipeline). Near-tie argmax flips are the documented kernel caveat,
+    # so agreement is reported, not asserted.
+    cached_pallas = None
+    try:
+        from depth_image_captioning_pub_tpu.engine.evaluate import (
+            make_caption_fn as _mcf)
+        fn_p = _mcf(cap, start_id=VOCAB - 4, max_length=MAX_LEN,
+                    use_pallas=True)
+        toks_p = [np.asarray(fn_p({}, params, stats, None, key, feats=f))
+                  for f in feats]   # compile + warm
+        n0 = N_IMAGES // n_batches
+        agree = float(np.mean(
+            [np.mean(toks_p[i % n_stage] == tokens[i * n0:(i + 1) * n0])
+             for i in range(n_batches)]))
+        print(f"  [cached-pallas] token agreement vs XLA {agree:.4%}",
+              file=sys.stderr)
+
+        def run_cached_pallas():
+            t0 = time.perf_counter()
+            outs = [fn_p({}, params, stats, None, key,
+                         feats=feats[i % n_stage]) for i in range(n_batches)]
+            np.asarray(jnp.concatenate(outs, axis=0))
+            return N_IMAGES / (time.perf_counter() - t0)
+
+        cached_pallas = stable_rate(run_cached_pallas,
+                                    "base-soft-cached-pallas")
+    except Exception as e:  # the kernel path must not kill the headline
+        print(f"cached-pallas bench failed: {e}", file=sys.stderr)
+
+    return full_rate, cached_rate, cached_pallas, mfu(full_rate, BATCH, fl)
 
 
 def bench_depth_tpu(n_images: int = 512, batch: int = 64):
@@ -700,7 +733,7 @@ def main():
         print(f"torch baseline failed: {e}", file=sys.stderr)
 
     # headline: always attempted, emitted the moment it lands
-    ours, ours_cached, mfu_greedy = bench_tpu()
+    ours, ours_cached, ours_cached_pallas, mfu_greedy = bench_tpu()
     RESULT.update({
         "value": round(ours, 2),
         "vs_baseline": round(ours / baseline, 2) if baseline else None,
@@ -708,6 +741,10 @@ def main():
         # run under the eval set cache (frozen ResNet features replayed,
         # decoder-only program; exact — token equality asserted in-bench).
         "cached_captions_per_sec": round(ours_cached, 2),
+        # The same cached program under --pallas-decode (whole-sequence
+        # kernel; 1.66-1.71x measured r4 — decode dominates here).
+        "cached_pallas_captions_per_sec":
+            round(ours_cached_pallas, 2) if ours_cached_pallas else None,
         # Model-FLOPs utilization of the headline program (flops via
         # compiled-HLO cost analysis ÷ $BENCH_PEAK_TFLOPS, default 197
         # bf16 TFLOP/s on v5e).
