@@ -58,13 +58,13 @@ def _build(kind, env, seed=0):
     return cap, params, frozen, stats
 
 
-def _run(kind, env, loader, cache, beam_size=1):
+def _run(kind, env, loader, cache, beam_size=1, use_pallas=False):
     ds, w2i, i2w, cfg = env
     cap = build_captioner(kind, len(w2i), cfg, encoder_dtype=jnp.float32,
                           resnet_layers=TINY)
     return evaluate(kind, "coco", cap, checkpoint_loader=loader,
                     dataset=ds, word_to_id=w2i, id_to_word=i2w, cfg=cfg,
-                    num_sets=2, beam_size=beam_size,
+                    num_sets=2, beam_size=beam_size, use_pallas=use_pallas,
                     depth_eval_cache=cache, quiet=True)
 
 
@@ -174,3 +174,16 @@ def test_cli_no_eval_cache_flag(monkeypatch):
     assert seen["depth_eval_cache"] is False
     assert base_evaluation.main(["soft", "score", "coco"]) == 0
     assert seen["depth_eval_cache"] is True
+
+
+@pytest.mark.parametrize("kind", ["base-soft", "nic"])
+def test_cached_sets_replay_under_pallas(env, kind):
+    """Eval set cache x --pallas-decode (the r4-measured 1.7x cached-set
+    composition): sets 2+ replay frozen features into the whole-sequence
+    KERNEL program — scores equal the cache-off pallas run exactly (CPU
+    interpret mode is bit-equal to the XLA scan)."""
+    cap, params, frozen, stats = _build(kind, env)
+    loader = lambda i: (frozen["encoder"], params, stats)  # noqa: E731
+    cached = _run(kind, env, loader, True, use_pallas=True)
+    plain = _run(kind, env, loader, False, use_pallas=True)
+    assert cached == plain

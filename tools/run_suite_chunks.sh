@@ -10,38 +10,28 @@
 set -u
 cd "$(dirname "$0")/.."
 
-declare -a NAMES=(
-  "base"         # fast single-device tests
-  "heavy"        # compile-heavy caches / DPT twins / interpret kernels
-  "multidevice"  # 8-virtual-device collective tests (run solo!)
-  "cli"          # the big CLI end-to-end file
-  "e2e"          # remaining engine/serving end-to-end tests
-)
-declare -a ARGS=(
-  "-m not multidevice and not e2e and not heavy"
-  "-m heavy"
-  "-m multidevice"
-  "tests/test_cli.py"
-  "-m e2e --ignore=tests/test_cli.py"
-)
-
 fail=0
 summary=""
-for i in "${!NAMES[@]}"; do
-  name="${NAMES[$i]}"
-  echo "=== chunk $name: pytest ${ARGS[$i]} ==="
+
+chunk() {
+  local name="$1"; shift
+  echo "=== chunk $name: pytest $* ==="
+  local start rc dt
   start=$(date +%s)
-  # shellcheck disable=SC2086
-  if [ "${ARGS[$i]#-m}" != "${ARGS[$i]}" ]; then
-    python -m pytest tests/ -m "${ARGS[$i]#-m }" -q "$@"
-  else
-    python -m pytest ${ARGS[$i]} -q "$@"
-  fi
+  python -m pytest -q "$@" ${EXTRA[@]+"${EXTRA[@]}"}
   rc=$?
   dt=$(( $(date +%s) - start ))
   summary+="$name: rc=$rc ${dt}s"$'\n'
   [ $rc -ne 0 ] && fail=1
-done
+}
+
+EXTRA=("$@")
+chunk base        tests/ -m "not multidevice and not e2e and not heavy"
+chunk heavy       tests/ -m heavy
+chunk multidevice tests/ -m multidevice
+chunk cli         tests/test_cli.py
+chunk e2e         tests/ -m e2e --ignore=tests/test_cli.py
+
 echo "=== suite chunk summary ==="
 printf '%s' "$summary"
 exit $fail
