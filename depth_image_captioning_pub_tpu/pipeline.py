@@ -103,12 +103,15 @@ class CaptionPipeline:
         # shards too — the whole-sequence kernels run per-device batch
         # shards via their shard_map dispatch (pallas_mesh).
         self._sharding = None
+        self._mesh = None
+        self._experiment = None   # set by from_experiment (for reload)
         pallas_mesh = None
         devices = list(devices) if devices is not None else jax.devices()
         if len(devices) > 1:
             from depth_image_captioning_pub_tpu.parallel.mesh import (
                 batch_sharding, make_mesh, pad_batch_to_devices, replicate)
             mesh = make_mesh(devices)
+            self._mesh = mesh
             if use_pallas:
                 pallas_mesh = mesh
             self._sharding = batch_sharding(mesh)
@@ -172,8 +175,51 @@ class CaptionPipeline:
         if cap.spec.uses_depth:
             depth_fn, dpt_vars = cli.make_depth_fn(cfg)
             frozen["dpt"] = dpt_vars
-        return cls(cap, params, frozen, stats, word_to_id, id_to_word,
+        pipe = cls(cap, params, frozen, stats, word_to_id, id_to_word,
                    depth_fn=depth_fn, max_length=cfg.max_length, **kwargs)
+        pipe._experiment = (save_dir, tables[set_idx])
+        return pipe
+
+    # ---- hot reload -------------------------------------------------------
+    def reload_weights(self, params=None, frozen_enc=None,
+                       batch_stats=None) -> None:
+        """Swap weights in place — shapes are unchanged, so every compiled
+        program (all batch buckets, beam/pallas variants) is reused with
+        zero recompilation. On a mesh the new trees are replicated like the
+        originals. NOT synchronized with concurrent ``__call__``s — callers
+        that serve traffic must serialize the swap with inference
+        (serve.CaptionService does this on its device-owning worker thread
+        via ``CaptionService.reload``)."""
+        new = {"params": params, "batch_stats": batch_stats,
+               "frozen": (dict(self.frozen, encoder=frozen_enc)
+                          if frozen_enc is not None else None)}
+        if self._mesh is not None:
+            from depth_image_captioning_pub_tpu.parallel.mesh import (
+                replicate)
+            new = {k: replicate(self._mesh, v) if v is not None else None
+                   for k, v in new.items()}
+        if new["params"] is not None:
+            self.params = new["params"]
+        if new["frozen"] is not None:
+            self.frozen = new["frozen"]
+        if new["batch_stats"] is not None:
+            self.batch_stats = new["batch_stats"]
+
+    def reload_from_experiment(self) -> None:
+        """Re-read the SAME checkpoint files this pipeline was loaded from
+        (after a training run refreshed them) and swap the weights — the
+        hot-reload path behind ``POST /reload`` on ``dcap-serve``. The
+        frozen DPT is kept (it never trains); the frozen RGB encoder,
+        trainable params, and batch stats are re-read."""
+        if self._experiment is None:
+            raise RuntimeError("pipeline was not built by from_experiment; "
+                               "use reload_weights(...) directly")
+        from depth_image_captioning_pub_tpu import cli
+        save_dir, files = self._experiment
+        frozen_enc, params, stats = cli.load_eval_components(
+            save_dir, files, self.cap)
+        self.reload_weights(params=params, frozen_enc=frozen_enc,
+                            batch_stats=stats)
 
     # ---- inference --------------------------------------------------------
     def _to_arrays(self, images: Sequence[ImageLike]) -> np.ndarray:

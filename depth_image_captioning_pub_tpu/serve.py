@@ -24,6 +24,12 @@ Design points that matter for a TPU service:
   latency and device-call percentiles (p50/p90/p99/mean), the micro-batch
   size histogram, counters, and queue depth; ``GET /healthz`` stays a
   cheap liveness probe.
+* Hot checkpoint reload: ``POST /reload`` re-reads the experiment's
+  checkpoint files (after a training run refreshed them) and swaps the
+  weights on the worker thread BETWEEN device calls — zero recompilation
+  (shapes unchanged, every compiled bucket program reused), no restart,
+  and no race with in-flight batches (the job queue is the
+  synchronization).
 
 Run:  python -m depth_image_captioning_pub_tpu.serve --kind base-soft \
           [--port 8000] [--beam 5] [--batch-size 16]
@@ -54,6 +60,17 @@ class _Job:
         self.error: Optional[str] = None
 
 
+class _ReloadJob:
+    """Control job (POST /reload): executed by the device-owning worker
+    BETWEEN caption batches, so the weight swap never races a device call
+    — the queue itself is the synchronization."""
+    __slots__ = ("event", "error")
+
+    def __init__(self):
+        self.event = threading.Event()
+        self.error: Optional[str] = None
+
+
 class CaptionService:
     """Micro-batching worker around a ``CaptionPipeline``.
 
@@ -71,6 +88,7 @@ class CaptionService:
         self._stop = threading.Event()
         self.batches_run = 0
         self.images_served = 0
+        self.reloads_done = 0
         # observability (GET /metrics): rolling windows of per-request
         # latency and per-batch device-call time, plus a batch-size
         # histogram. deque.append is atomic under the GIL; readers
@@ -120,6 +138,19 @@ class CaptionService:
                 # them, then keep the shutdown signal pending so the
                 # worker still exits once the queue is drained
                 self.queue.put(_SENTINEL)
+            # hot reloads run FIRST, between device calls (jobs drained
+            # alongside them get the fresh weights)
+            reloads = [j for j in jobs if isinstance(j, _ReloadJob)]
+            jobs = [j for j in jobs if not isinstance(j, _ReloadJob)]
+            for r in reloads:
+                try:
+                    self.pipeline.reload_from_experiment()
+                    self.reloads_done += 1
+                except Exception as e:
+                    r.error = str(e)
+                r.event.set()
+            if not jobs:
+                continue
             try:
                 t0 = time.monotonic()
                 arrays = np.stack([j.array for j in jobs])
@@ -153,6 +184,20 @@ class CaptionService:
         self._req_ms.append((time.monotonic() - t0) * 1e3)
         return job.caption
 
+    def reload(self, timeout: float = 120.0) -> None:
+        """Hot-swap weights from the experiment's checkpoint files
+        (pipeline.reload_from_experiment), serialized with inference on
+        the worker thread. Blocks until the swap happened; raises what
+        the reload raised."""
+        if self._stop.is_set():
+            raise RuntimeError("caption service is shutting down")
+        job = _ReloadJob()
+        self.queue.put(job)
+        if not job.event.wait(timeout):
+            raise TimeoutError("reload timed out")
+        if job.error:
+            raise RuntimeError(job.error)
+
     def metrics(self) -> dict:
         """Rolling-window serving metrics (GET /metrics): request latency
         and device-call percentiles over the last ``metrics_window``
@@ -170,6 +215,7 @@ class CaptionService:
 
         return {"images_served": self.images_served,
                 "batches_run": self.batches_run,
+                "reloads_done": self.reloads_done,
                 "queue_depth": self.queue.qsize(),
                 "batch_size_hist": {str(k): v for k, v in
                                     sorted(self._batch_hist.items())},
@@ -219,8 +265,19 @@ def make_handler(service: CaptionService):
                                            "POST /caption"})
 
         def do_POST(self):
+            if self.path == "/reload":
+                # hot checkpoint reload: re-read the experiment's files and
+                # swap weights on the worker thread (zero recompilation —
+                # shapes unchanged; serving continues after the swap)
+                try:
+                    service.reload()
+                    self._reply(200, {"reloaded": True,
+                                      "reloads_done": service.reloads_done})
+                except Exception as e:
+                    self._reply(500, {"error": str(e)})
+                return
             if self.path != "/caption":
-                self._reply(404, {"error": "POST /caption"})
+                self._reply(404, {"error": "POST /caption or POST /reload"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))

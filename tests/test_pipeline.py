@@ -194,3 +194,50 @@ def test_batch_buckets(coco_tree):  # noqa: F811
 
     with pytest.raises(ValueError):
         _tiny_pipeline(batch_buckets=(0, 2), devices=one)
+
+
+def test_hot_reload_from_experiment(coco_tree):  # noqa: F811
+    """Hot reload: after the checkpoint files change on disk,
+    ``reload_from_experiment`` swaps the weights into the SAME pipeline
+    (compiled programs reused — shapes unchanged) and captions match a
+    freshly-built pipeline reading the same files. The original files are
+    restored afterwards (the fixture is module-scoped)."""
+    import base_main
+    import jax
+    from depth_image_captioning_pub_tpu.pipeline import CaptionPipeline
+    from depth_image_captioning_pub_tpu.utils.checkpoint import (
+        load_component, save_component)
+
+    d = coco_tree / "exp_result" / "base_soft"
+    f = d / "base_soft_decoder_best_coco0.pth.msgpack"
+    if not f.exists():
+        assert base_main.main(["soft", "coco", "--epochs", "1",
+                               "--exp-time", "1"]) == 0
+    pipe = CaptionPipeline.from_experiment("base-soft", batch_size=2)
+    val = coco_tree / "dataset" / "coco2014" / "val2014"
+    paths = sorted(str(p) for p in val.iterdir())[:3]
+    caps0 = pipe(paths)
+
+    original = f.read_bytes()
+    try:
+        dec = load_component(str(f), pipe.params["decoder"])
+        dec2 = jax.tree_util.tree_map(lambda x: x * 1.5 + 0.25, dec)
+        save_component(str(d / "base_soft_decoder_best_coco0.pth"), dec2)
+        pipe.reload_from_experiment()
+        caps1 = pipe(paths)
+        fresh = CaptionPipeline.from_experiment("base-soft", batch_size=2)
+        assert caps1 == fresh(paths)   # swapped weights == fresh load
+        assert caps1 != caps0          # the swap actually took effect
+    finally:
+        f.write_bytes(original)
+
+    pipe.reload_from_experiment()      # restore in-memory too
+    assert pipe(paths) == caps0
+
+
+def test_reload_requires_experiment(tiny_env):
+    """A pipeline not built by from_experiment refuses
+    reload_from_experiment loudly (reload_weights remains available)."""
+    pipe = _tiny_pipeline(batch_size=2)
+    with pytest.raises(RuntimeError, match="from_experiment"):
+        pipe.reload_from_experiment()

@@ -357,3 +357,38 @@ def test_main_threads_dpt_head_flag(monkeypatch):
     assert rc == 0
     assert seen["cfg"].dpt_head == "lowres"
     assert seen["cfg"].dpt_gelu == "erf"
+
+
+def test_reload_endpoint(server, monkeypatch):
+    """POST /reload: 500 with the error when the pipeline can't reload
+    (not built by from_experiment), 200 + counter once it can; the swap
+    runs on the worker thread between batches and serving continues."""
+    httpd, pipe = server
+    port = httpd.server_address[1]
+
+    def post_reload():
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/reload",
+                                     data=b"", method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    code, body = post_reload()           # _tiny_pipeline: not an experiment
+    assert code == 500 and "from_experiment" in body["error"]
+
+    calls = []
+    monkeypatch.setattr(pipe, "reload_from_experiment",
+                        lambda: calls.append(1))
+    code, body = post_reload()
+    assert code == 200 and body["reloaded"] is True
+    assert body["reloads_done"] == 1 and calls == [1]
+
+    # serving still works after the swap, and metrics carry the counter
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (224, 224, 3), dtype=np.uint8)
+    assert "caption" in _post(port, _jpeg_bytes(img))
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=10) as r:
+        assert json.loads(r.read())["reloads_done"] == 1
