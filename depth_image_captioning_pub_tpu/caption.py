@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gelu", default="erf", choices=("erf", "tanh"),
                    help="DPT GELU flavor (depth kinds; tanh = throughput "
                         "knob, PERF.md)")
+    p.add_argument("--dpt-head", default="full", choices=("full", "lowres"),
+                   help="monocular-head flavor (depth kinds; lowres = "
+                        "throughput knob like --gelu, PERF.md)")
     p.add_argument("--export-dir", default=None,
                    help="caption from a dcap-export AOT artifact instead of "
                         "exp_result/ checkpoints (decode settings are baked "
@@ -94,10 +97,11 @@ def main(argv=None) -> int:
     else:
         from depth_image_captioning_pub_tpu.pipeline import CaptionPipeline
         cfg = None
-        if args.gelu != "erf":
+        if args.gelu != "erf" or args.dpt_head != "full":
             from depth_image_captioning_pub_tpu.config import ConfigEval
             cfg = ConfigEval()
             cfg.dpt_gelu = args.gelu
+            cfg.dpt_head = args.dpt_head
         pipe = CaptionPipeline.from_experiment(
             args.kind, args.use_data, cfg=cfg, set_idx=args.set_idx,
             beam_size=args.beam, batch_size=args.batch_size,
