@@ -810,7 +810,7 @@ def main():
         RESULT["serve_latency_p50_ms"] = round(srv["p50_ms"], 1)
         RESULT["serve_caps_per_sec"] = round(srv["caps_per_sec"], 1)
 
-    run_segment("depth-soft", 500, seg_depth)
+    run_segment("depth-soft", 600, seg_depth)
     run_segment("beam", 200, seg_beam)
     run_segment("train", 500, seg_train)
     run_segment("e2e", 400, seg_e2e)
