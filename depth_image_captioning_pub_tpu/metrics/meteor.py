@@ -22,17 +22,17 @@ variable (or set programmatically via :func:`set_meteor_data`):
   synonym stage iff they share a synset, the jar's rule.
 * ``METEOR_PARAPHRASES`` — lines ``phrase1 ||| phrase2`` (an optional third
   ``||| prob`` field is ignored), ``.gz`` transparent — the layout of the
-  jar's ``paraphrase-en.gz``. Only single-word<->single-word entries are
-  usable by the one-to-one word aligner below; multi-word phrase entries
-  are skipped (a residual, documented underestimate vs the jar, which
-  aligns phrase blocks).
+  jar's ``paraphrase-en.gz``. Multi-word entries are fully supported: the
+  aligner matches phrase BLOCKS like the jar (a hypothesis span against a
+  reference span of possibly different length), so e.g.
+  ``traffic light ||| stoplight`` aligns a 2-word span to a 1-word span.
 
 ``tools/export_meteor_data.py`` builds all three files: WordNet synsets via
 nltk (``python -m nltk.downloader wordnet`` once, on a connected machine),
-a single-word filter for the jar's paraphrase table, and a function-word
-normalizer. File-to-score coverage: tests/test_meteor_fixture.py pins a
-worked example through the env hooks against the hand-evaluated METEOR 1.5
-formula chain.
+a normalizer for the jar's paraphrase table, and a function-word
+normalizer. File-to-score coverage: tests/test_meteor_fixture.py pins
+worked examples (word-level AND multi-word phrase-block) through the env
+hooks against the hand-evaluated METEOR 1.5 formula chain.
 
 Remaining deviations from the jar when no data files are given:
 
@@ -45,19 +45,25 @@ Remaining deviations from the jar when no data files are given:
   reconstructed offline — supply the jar's own list via
   ``METEOR_FUNCTION_WORDS`` for exactness).
 
-Alignment is the jar's objective, solved exactly: among one-to-one word
-alignments of **maximum cardinality**, pick the one with the **fewest
-chunks**, breaking remaining ties by the **smallest total |i-j| distance**
-(monotonicity), then by the largest total module weight. The search is a
-depth-first branch-and-bound over hypothesis positions with greedy-first
-ordering and a node budget; within the budget (always, at caption lengths
+Alignment is the jar's objective, solved exactly: among alignments of
+non-overlapping phrase matches (each word of each sentence covered at most
+once), pick the one with **maximum total word coverage** (hypothesis +
+reference covered words), then the **fewest chunks**, breaking remaining
+ties by the **smallest total |i-j| start distance** (monotonicity), then by
+the largest total module weight. Exact/stem/synonym matches are
+single-word spans; the paraphrase module contributes spans of any length
+present in the table. The search is a depth-first branch-and-bound over
+hypothesis positions with greedy-first ordering, a DP coverage upper
+bound, and a node budget; within the budget (always, at caption lengths
 <=30 with realistic vocabularies) the result is optimal, and on budget
 exhaustion the best alignment found so far is returned (never worse than
 the greedy one, which is explored first).
 
 Corpus scoring follows the jar: per segment the best-scoring reference's
 match statistics are accumulated, and the final score is computed once from
-the aggregated totals (NOT the mean of segment scores).
+the aggregated totals (NOT the mean of segment scores). The fragmentation
+denominator is the average of covered hypothesis and reference words
+(identical to the match count when all matches are single-word).
 """
 
 from __future__ import annotations
@@ -110,8 +116,9 @@ class MeteorData:
     """External METEOR-1.5 data (module docstring documents the formats).
 
     ``synsets`` maps word -> frozenset of synset ids; ``paraphrases`` holds
-    unordered single-word pairs as frozensets (the jar's table lists both
-    directions; storing unordered pairs makes lookup direction-free).
+    unordered phrase pairs as frozensets of normalized phrase strings
+    (single- or multi-word, space-joined). The jar's table lists both
+    directions; storing unordered pairs makes lookup direction-free.
     """
     function_words: frozenset = frozenset()
     synsets: Optional[Dict[str, frozenset]] = None
@@ -139,32 +146,34 @@ def load_synsets(path: str) -> Dict[str, frozenset]:
 
 
 def load_paraphrases(path: str) -> frozenset:
+    """Load a paraphrase table: unordered pairs of normalized phrases.
+
+    Multi-word phrases are kept — the aligner matches phrase blocks like
+    the jar (reference: evaluate_metrix.py:29 spawns METEOR 1.5, whose
+    paraphrase matcher proposes span<->span matches)."""
     pairs = set()
-    skipped = 0
     for ln in _read_lines(path):
         fields = [f.strip() for f in ln.split("|||")]
         if len(fields) < 2:
             continue
-        a, b = fields[0], fields[1]
-        if len(a.split()) == 1 and len(b.split()) == 1 and a != b:
-            pairs.add(frozenset((a.lower(), b.lower())))
-        else:
-            skipped += 1
-    if skipped:
-        import sys
-        print(f"meteor: skipped {skipped} multi-word paraphrase entries "
-              f"(one-to-one word aligner; see metrics/meteor.py docstring)",
-              file=sys.stderr)
+        a = " ".join(fields[0].lower().split())
+        b = " ".join(fields[1].lower().split())
+        if a and b and a != b:
+            pairs.add(frozenset((a, b)))
     return frozenset(pairs)
 
 
 _data: Optional[MeteorData] = None
+# Derived phrase index for the active paraphrase table:
+# (dict phrase -> frozenset(partner phrases), max phrase word-length).
+_par_index: Optional[Tuple[Dict[str, frozenset], int]] = None
 
 
 def set_meteor_data(data: Optional[MeteorData]) -> None:
     """Install external METEOR data (None -> re-read env at next use)."""
-    global _data
+    global _data, _par_index
     _data = data
+    _par_index = None
 
 
 def _active_data() -> MeteorData:
@@ -183,25 +192,51 @@ def _active_data() -> MeteorData:
     return _data
 
 
+def _active_par_index() -> Tuple[Dict[str, frozenset], int]:
+    """Phrase -> partners lookup for the active paraphrase table."""
+    global _par_index
+    if _par_index is None:
+        data = _active_data()
+        by_phrase: Dict[str, set] = {}
+        max_len = 1
+        for pair in (data.paraphrases or ()):
+            members = tuple(pair)
+            if len(members) != 2:
+                continue
+            a, b = members
+            by_phrase.setdefault(a, set()).add(b)
+            by_phrase.setdefault(b, set()).add(a)
+            max_len = max(max_len, len(a.split()), len(b.split()))
+        _par_index = ({p: frozenset(s) for p, s in by_phrase.items()},
+                      max_len)
+    return _par_index
+
+
 def _is_function(word: str) -> bool:
     return word in _active_data().function_words
 
 
 def _candidates(hyp: Sequence[str], ref: Sequence[str]
                 ) -> List[List[Tuple[int, int]]]:
-    """Per hyp position: [(ref position, stage)] — stage 0 exact, 1 stem,
-    2 synonym (shared synset), 3 paraphrase (single-word table pair).
+    """Per hyp position: [(ref position, stage)] — WORD-level candidates:
+    stage 0 exact, 1 stem, 2 synonym (shared synset), 3 paraphrase
+    (single-word table pair).
 
     A pair matchable by several modules gets the earliest one (the jar
-    assigns each match to the first module that finds it).
+    assigns each match to the first module that finds it). Kept as the
+    word-level view for brute-force cross-checks; production alignment
+    goes through :func:`_phrase_candidates`, which adds multi-word
+    paraphrase spans.
     """
     data = _active_data()
+    par, _ = _active_par_index()
     ref_stems = [stem(w) for w in ref]
     empty: frozenset = frozenset()
     out: List[List[Tuple[int, int]]] = []
     for i, hw in enumerate(hyp):
         hs = stem(hw)
         h_syn = data.synsets.get(hw, empty) if data.synsets else empty
+        h_par = par.get(hw, empty)
         row = []
         for j, rw in enumerate(ref):
             if hw == rw:
@@ -210,8 +245,7 @@ def _candidates(hyp: Sequence[str], ref: Sequence[str]
                 row.append((j, 1))
             elif h_syn and h_syn & data.synsets.get(rw, empty):
                 row.append((j, 2))
-            elif (data.paraphrases
-                  and frozenset((hw, rw)) in data.paraphrases):
+            elif rw in h_par:
                 row.append((j, 3))
         # Greedy-first ordering: closest ref position first so the first
         # DFS leaf reproduces (at least) the monotone greedy alignment.
@@ -220,113 +254,151 @@ def _candidates(hyp: Sequence[str], ref: Sequence[str]
     return out
 
 
-def _max_cardinality(cands: List[List[Tuple[int, int]]], n_ref: int) -> int:
-    """Max bipartite matching size (augmenting paths; graphs are tiny)."""
-    match_r: List[int] = [-1] * n_ref
+# A phrase match: (h_len, r_start, r_len, stage), grouped by h_start.
+def _phrase_candidates(hyp: Sequence[str], ref: Sequence[str]
+                       ) -> List[List[Tuple[int, int, int, int]]]:
+    """Per hyp position i: [(h_len, r_start, r_len, stage)].
 
-    def try_kuhn(i: int, seen: List[bool]) -> bool:
-        for j, _ in cands[i]:
-            if not seen[j]:
-                seen[j] = True
-                if match_r[j] < 0 or try_kuhn(match_r[j], seen):
-                    match_r[j] = i
-                    return True
-        return False
+    Word-level stages contribute (1, j, 1, stage) exactly as
+    :func:`_candidates`; the paraphrase module additionally contributes
+    multi-word span matches (h span text and ref span text form a table
+    pair). Rows are sorted coverage-first then closest-first so the first
+    DFS leaf is a strong greedy alignment.
+    """
+    word_rows = _candidates(hyp, ref)
+    out: List[List[Tuple[int, int, int, int]]] = [
+        [(1, j, 1, s) for j, s in row] for row in word_rows]
+    par, max_len = _active_par_index()
+    if par and max_len > 1:
+        # All ref span texts up to max_len, for O(1) partner lookup.
+        ref_spans: Dict[str, List[Tuple[int, int]]] = {}
+        for rj in range(len(ref)):
+            for rl in range(1, min(max_len, len(ref) - rj) + 1):
+                ref_spans.setdefault(" ".join(ref[rj:rj + rl]),
+                                     []).append((rj, rl))
+        for i in range(len(hyp)):
+            for hl in range(1, min(max_len, len(hyp) - i) + 1):
+                partners = par.get(" ".join(hyp[i:i + hl]))
+                if not partners:
+                    continue
+                for p in partners:
+                    for rj, rl in ref_spans.get(p, ()):
+                        if hl == 1 and rl == 1:
+                            continue  # single<->single handled word-level
+                        out[i].append((hl, rj, rl, 3))
+    for i, row in enumerate(out):
+        row.sort(key=lambda m: (-(m[0] + m[2]), abs(m[1] - i), m[1]))
+    return out
 
-    size = 0
-    for i in range(len(cands)):
-        if cands[i] and try_kuhn(i, [False] * n_ref):
-            size += 1
-    return size
+
+def align_phrases(hyp: Sequence[str], ref: Sequence[str]
+                  ) -> List[Tuple[int, int, int, int, int]]:
+    """Optimal METEOR phrase alignment:
+    list of (h_start, h_len, r_start, r_len, stage), ordered by h_start.
+
+    Objective (lexicographic): maximum total covered words (hyp + ref),
+    fewest chunks, least total |h_start - r_start|, largest total
+    module-weighted coverage (exact preferred over stem).
+    """
+    cands = _phrase_candidates(hyp, ref)
+    n_h, n_r = len(hyp), len(ref)
+    if not any(cands):
+        return []
+
+    # DP coverage upper bound from hyp position i on (ignores ref-side
+    # conflicts, so it never underestimates).
+    ub = [0] * (n_h + 1)
+    for i in range(n_h - 1, -1, -1):
+        best_i = ub[i + 1]
+        for hl, _rj, rl, _s in cands[i]:
+            best_i = max(best_i, hl + rl + ub[i + hl])
+        ub[i] = best_i
+
+    def greedy_seed() -> List[Tuple[int, int, int, int, int]]:
+        """Coverage-greedy alignment: guarantees a non-None result even if
+        the node budget exhausts before the DFS reaches its first leaf
+        (pathological repeated-word inputs)."""
+        used = [False] * n_r
+        pairs = []
+        i = 0
+        while i < n_h:
+            taken = False
+            for hl, rj, rl, s in cands[i]:
+                if not any(used[rj:rj + rl]):
+                    for j in range(rj, rj + rl):
+                        used[j] = True
+                    pairs.append((i, hl, rj, rl, s))
+                    i += hl
+                    taken = True
+                    break
+            if not taken:
+                i += 1
+        return pairs
+
+    seed = greedy_seed()
+    seed_cov = sum(hl + rl for _, hl, _, rl, _ in seed)
+    best: List[List[Tuple[int, int, int, int, int]]] = [seed]
+    # The seed's coverage is a valid bar, but its (chunks, dist) only
+    # become the pruning bar once a DFS leaf confirms them at maximum
+    # coverage (otherwise they could wrongly prune better alignments).
+    inf = float("inf")
+    best_key = [(-seed_cov, inf, inf, inf)]
+    used_r = [False] * n_r
+    nodes = [0]
+
+    def dfs(i: int, cov: int, pairs: List[Tuple[int, int, int, int, int]],
+            chunks: int, dist: int, wsum: float) -> None:
+        if nodes[0] > _NODE_BUDGET:
+            return
+        nodes[0] += 1
+        bk = best_key[0]
+        potential = cov + ub[i]
+        if -potential > bk[0]:
+            return  # cannot reach the best coverage anymore
+        if -potential == bk[0]:
+            # Can at best tie on coverage; chunks and distance only grow
+            # as matches append, so dominance pruning is sound here.
+            if chunks > bk[1] or (chunks == bk[1] and dist > bk[2]):
+                return
+        if i == n_h:
+            key = (-cov, chunks, dist, -wsum)
+            if key < bk:
+                best_key[0] = key
+                best[0] = list(pairs)
+            return
+        for hl, rj, rl, s in cands[i]:
+            if any(used_r[rj:rj + rl]):
+                continue
+            if pairs:
+                h0, hl0, r0, rl0, _ = pairs[-1]
+                nchunks = chunks + (0 if (i == h0 + hl0 and rj == r0 + rl0)
+                                    else 1)
+            else:
+                nchunks = 1
+            for j in range(rj, rj + rl):
+                used_r[j] = True
+            pairs.append((i, hl, rj, rl, s))
+            dfs(i + hl, cov + hl + rl, pairs, nchunks, dist + abs(i - rj),
+                wsum + STAGE_WEIGHTS[s] * (hl + rl))
+            pairs.pop()
+            for j in range(rj, rj + rl):
+                used_r[j] = False
+        # Skipping hyp word i is only useful when a candidate conflicts.
+        dfs(i + 1, cov, pairs, chunks, dist, wsum)
+
+    dfs(0, 0, [], 0, 0, 0.0)
+    return best[0]
 
 
 def align(hyp: Sequence[str], ref: Sequence[str]
           ) -> List[Tuple[int, int, int]]:
-    """Optimal METEOR alignment: list of (hyp_idx, ref_idx, stage).
-
-    Maximum cardinality, then fewest chunks, then least total distance,
-    then largest total module weight (exact preferred over stem).
+    """Word-level view of the optimal alignment: (hyp_idx, ref_idx, stage)
+    triples, one per single-word match (multi-word phrase-block matches —
+    possible only with multi-word paraphrase data installed — are reported
+    by their start positions). Kept for the word-level optimality tests;
+    scoring uses :func:`align_phrases` directly.
     """
-    cands = _candidates(hyp, ref)
-    target = _max_cardinality(cands, len(ref))
-    if target == 0:
-        return []
-
-    # hyp positions that have any candidate, in order.
-    live = [i for i in range(len(hyp)) if cands[i]]
-
-    def greedy_seed() -> List[Tuple[int, int, int]]:
-        """Closest-position greedy alignment: guarantees a non-None result
-        even if the node budget exhausts before the DFS reaches its first
-        max-cardinality leaf (pathological repeated-word inputs)."""
-        used = [False] * len(ref)
-        pairs = []
-        for i in live:
-            for j, stage in cands[i]:
-                if not used[j]:
-                    used[j] = True
-                    pairs.append((i, j, stage))
-                    break
-        return pairs
-    # suffix_live[k] = how many live positions remain at/after live[k]
-    # (upper bound on additional matches — used for cardinality pruning).
-    seed = greedy_seed()
-    best: List[Optional[List[Tuple[int, int, int]]]] = [seed]
-    best_key = [(float("inf"), float("inf"), float("-inf"))]
-    # The seed's key only becomes the pruning bar if it is max-cardinality
-    # (otherwise its (chunks, dist) would wrongly prune better alignments).
-    used_r = [False] * len(ref)
-    nodes = [0]
-
-    def leaf_key(pairs: List[Tuple[int, int, int]]
-                 ) -> Tuple[float, float, float]:
-        chunks = 1
-        for (h0, r0, _), (h1, r1, _) in zip(pairs, pairs[1:]):
-            if not (h1 == h0 + 1 and r1 == r0 + 1):
-                chunks += 1
-        dist = sum(abs(h - r) for h, r, _ in pairs)
-        weight = sum(STAGE_WEIGHTS[s] for _, _, s in pairs)
-        return (chunks, dist, -weight)
-
-    def dfs(k: int, matched: int, pairs: List[Tuple[int, int, int]],
-            chunks: int, dist: int) -> None:
-        if nodes[0] > _NODE_BUDGET:
-            return
-        nodes[0] += 1
-        # Dominance prune: chunks and distance only grow as pairs append.
-        bk = best_key[0]
-        if chunks > bk[0] or (chunks == bk[0] and dist > bk[1]):
-            return
-        if matched + (len(live) - k) < target:
-            return  # cannot reach max cardinality anymore
-        if k == len(live):
-            if matched == target:
-                key = leaf_key(pairs)
-                if key < best_key[0]:
-                    best_key[0] = key
-                    best[0] = list(pairs)
-            return
-        i = live[k]
-        for j, stage in cands[i]:
-            if used_r[j]:
-                continue
-            if pairs:
-                h0, r0, _ = pairs[-1]
-                nchunks = chunks + (0 if (i == h0 + 1 and j == r0 + 1)
-                                    else 1)
-            else:
-                nchunks = 1
-            used_r[j] = True
-            pairs.append((i, j, stage))
-            dfs(k + 1, matched + 1, pairs, nchunks, dist + abs(i - j))
-            pairs.pop()
-            used_r[j] = False
-        # Skipping i is only useful when it still permits max cardinality.
-        dfs(k + 1, matched, pairs, chunks, dist)
-
-    dfs(0, 0, [], 0, 0)
-    assert best[0] is not None  # target >= 1 guarantees some leaf
-    return best[0]
+    return [(h, r, s) for h, _hl, r, _rl, s in align_phrases(hyp, ref)]
 
 
 @dataclasses.dataclass
@@ -340,20 +412,30 @@ class MeteorStats:
     h_match_f: float = 0.0
     r_match_c: float = 0.0
     r_match_f: float = 0.0
-    matches: int = 0         # alignment cardinality
+    matches_h: int = 0       # covered hypothesis words
+    matches_r: int = 0       # covered reference words
     chunks: int = 0
+
+    @property
+    def matches(self) -> float:
+        """Average covered words (the fragmentation denominator); equals
+        the match count when every match is single-word."""
+        return (self.matches_h + self.matches_r) / 2.0
 
     def add(self, o: "MeteorStats") -> None:
         for f in dataclasses.fields(self):
             setattr(self, f.name, getattr(self, f.name) + getattr(o, f.name))
 
 
-def _chunk_count(pairs: List[Tuple[int, int, int]]) -> int:
+def _chunk_count(pairs: List[Tuple[int, int, int, int, int]]) -> int:
+    """Chunks over phrase matches ordered by h_start: a match continues
+    the current chunk iff it is adjacent to the previous one in BOTH
+    sentences (jar rule, span-aware)."""
     if not pairs:
         return 0
     chunks = 1
-    for (h0, r0, _), (h1, r1, _) in zip(pairs, pairs[1:]):
-        if not (h1 == h0 + 1 and r1 == r0 + 1):
+    for (h0, hl0, r0, rl0, _), (h1, _, r1, _, _) in zip(pairs, pairs[1:]):
+        if not (h1 == h0 + hl0 and r1 == r0 + rl0):
             chunks += 1
     return chunks
 
@@ -370,19 +452,22 @@ def segment_stats(hyp: Sequence[str], ref: Sequence[str]) -> MeteorStats:
             st.r_len_f += 1
         else:
             st.r_len_c += 1
-    pairs = align(hyp, ref)
-    st.matches = len(pairs)
+    pairs = align_phrases(hyp, ref)
+    st.matches_h = sum(hl for _, hl, _, _, _ in pairs)
+    st.matches_r = sum(rl for _, _, _, rl, _ in pairs)
     st.chunks = _chunk_count(pairs)
-    for i, j, stage in pairs:
+    for h0, hl, r0, rl, stage in pairs:
         w = STAGE_WEIGHTS[stage]
-        if _is_function(hyp[i]):
-            st.h_match_f += w
-        else:
-            st.h_match_c += w
-        if _is_function(ref[j]):
-            st.r_match_f += w
-        else:
-            st.r_match_c += w
+        for i in range(h0, h0 + hl):
+            if _is_function(hyp[i]):
+                st.h_match_f += w
+            else:
+                st.h_match_c += w
+        for j in range(r0, r0 + rl):
+            if _is_function(ref[j]):
+                st.r_match_f += w
+            else:
+                st.r_match_c += w
     return st
 
 

@@ -96,14 +96,15 @@ def test_load_files_and_env_hooks(tmp_path, monkeypatch, restore_data):
     import gzip
     with gzip.open(par, "wt", encoding="utf-8") as f:
         f.write("sofa ||| couch ||| 0.9\n"
-                "big house ||| mansion\n"      # multi-word: skipped
+                "big house ||| mansion\n"      # multi-word: kept (blocks)
                 "car ||| car\n")               # self-pair: skipped
     assert m.load_function_words(str(fw)) == frozenset({"the", "a", "an"})
     syns = m.load_synsets(str(syn))
     assert syns["dog"] == syns["canine"] == syns["hound"]
     assert not (syns["dog"] & syns["cat"])
     pars = m.load_paraphrases(str(par))
-    assert pars == frozenset({frozenset(("sofa", "couch"))})
+    assert pars == frozenset({frozenset(("sofa", "couch")),
+                              frozenset(("big house", "mansion"))})
 
     monkeypatch.setenv("METEOR_FUNCTION_WORDS", str(fw))
     monkeypatch.setenv("METEOR_SYNONYMS", str(syn))

@@ -32,7 +32,10 @@ def data_files(tmp_path, monkeypatch):
     syn.write_text("dog canine\ncat feline\n")
     par = tmp_path / "paraphrases.en"
     par.write_text("on ||| upon ||| 0.9\nmat ||| rug\n"
-                   "multi word ||| phrase\n")   # multi-word entry skipped
+                   "traffic light ||| stoplight\n"
+                   "kick the bucket ||| die\n"
+                   "big dog ||| hound\n"
+                   "multi word ||| phrase\n")   # multi-word entries active
     fw = tmp_path / "function.words"
     fw.write_text("# articles etc\nthe\non\nupon\n")
     monkeypatch.setenv("METEOR_SYNONYMS", str(syn))
@@ -81,6 +84,70 @@ def test_stages_change_the_score(data_files):
     assert corpus == pytest.approx(with_data, abs=1e-9)
 
 
+def test_phrase_block_worked_example(data_files):
+    """Multi-word paraphrase BLOCK alignment, the jar's behavior
+    (reference evaluate_metrix.py:29 spawns METEOR 1.5, whose paraphrase
+    matcher proposes span<->span matches): hyp 'the stoplight turned
+    green' vs ref 'the traffic light turned green' aligns the 1-word hyp
+    span 'stoplight' to the 2-word ref span 'traffic light' (w=0.6), and
+    every match chains into ONE chunk because each is adjacent to the
+    previous in BOTH sentences. Expected score is the METEOR 1.5 formula
+    chain written out by hand (delta weighting per covered word; the
+    fragmentation denominator is the AVERAGE of covered hyp and ref
+    words: (4+5)/2)."""
+    from depth_image_captioning_pub_tpu.metrics.meteor import align_phrases
+
+    hyp = "the stoplight turned green"
+    ref = "the traffic light turned green"
+    pairs = align_phrases(hyp.split(), ref.split())
+    assert (1, 1, 1, 2, 3) in pairs           # stoplight ~ traffic light
+    score = m.meteor_pair(hyp, ref)
+
+    delta, alpha = 0.75, 0.85
+    # hyp: 3 content (stoplight, turned, green) + 1 function (the);
+    # ref: 4 content (traffic, light, turned, green) + 1 function (the).
+    p = (delta * (0.6 + 1.0 + 1.0) + (1 - delta) * 1.0) / (
+        delta * 3 + (1 - delta) * 1)
+    r = (delta * (0.6 + 0.6 + 1.0 + 1.0) + (1 - delta) * 1.0) / (
+        delta * 4 + (1 - delta) * 1)
+    f_mean = p * r / (alpha * p + (1 - alpha) * r)
+    frag = 1 / ((4 + 5) / 2)                  # 1 chunk / 4.5 avg matches
+    expected = f_mean * (1.0 - 0.6 * frag ** 0.2)
+    assert expected == pytest.approx(0.458295, abs=1e-5)  # hand value
+    assert score == pytest.approx(expected, abs=1e-9)
+
+
+def test_phrase_block_beats_word_level(data_files):
+    """'kick the bucket ||| die': with the table the 3<->1 block aligns
+    and scores; the offline default (no paraphrase data) finds only the
+    exact matches. Also pins the span-aware chunk rule: he/will/block
+    chain into one chunk."""
+    from depth_image_captioning_pub_tpu.metrics.meteor import (
+        align_phrases, segment_stats)
+
+    hyp, ref = "he will kick the bucket", "he will die"
+    pairs = align_phrases(hyp.split(), ref.split())
+    assert (2, 3, 2, 1, 3) in pairs
+    st = segment_stats(hyp.split(), ref.split())
+    assert (st.matches_h, st.matches_r, st.chunks) == (5, 3, 1)
+    with_data = m.meteor_pair(hyp, ref)
+    m.set_meteor_data(m.MeteorData())          # offline default
+    offline = m.meteor_pair(hyp, ref)
+    m.set_meteor_data(None)
+    assert with_data > offline > 0.0
+
+
+def test_phrase_coverage_beats_match_weight(data_files):
+    """Coverage dominates module weight (the jar's objective order): for
+    hyp 'big dog' vs ref 'hound big', the 2<->1 paraphrase block covers 3
+    words and must win over the single exact 'big' match (2 words covered,
+    higher per-word weight)."""
+    from depth_image_captioning_pub_tpu.metrics.meteor import align_phrases
+
+    pairs = align_phrases("big dog".split(), "hound big".split())
+    assert pairs == [(0, 2, 0, 1, 3)]
+
+
 def test_exporter_paraphrases_and_function_words_roundtrip(tmp_path):
     """tools/export_meteor_data.py filter output loads through the real
     loaders and drives the stages."""
@@ -89,17 +156,19 @@ def test_exporter_paraphrases_and_function_words_roundtrip(tmp_path):
     with gzip.open(raw, "wt", encoding="utf-8") as f:
         f.write("on ||| upon ||| 0.91\n"
                 "Mat ||| rug\n"
-                "the big dog ||| the large dog ||| 0.5\n"   # multi-word: out
+                "the big dog ||| the large dog ||| 0.5\n"   # multi-word: KEPT
                 "rug ||| mat\n")                            # dup direction
     out = tmp_path / "p.en"
     r = subprocess.run([sys.executable, TOOL, "paraphrases", str(raw),
                         str(out)], capture_output=True, text=True)
     assert r.returncode == 0, r.stderr
     lines = out.read_text().strip().splitlines()
-    assert lines == ["mat ||| rug", "on ||| upon"]
+    assert lines == ["mat ||| rug", "on ||| upon",
+                     "the big dog ||| the large dog"]
     pairs = m.load_paraphrases(str(out))
     assert frozenset(("mat", "rug")) in pairs
     assert frozenset(("on", "upon")) in pairs
+    assert frozenset(("the big dog", "the large dog")) in pairs
 
     fw_in = tmp_path / "fw.raw"
     fw_in.write_text("# comment\nThe\nthe\non upon\n")

@@ -10,7 +10,7 @@ default runs exact+stem only (a documented underestimate). This tool
 builds the three files from sources the USER has, after which
 
     export METEOR_SYNONYMS=synonyms.en
-    export METEOR_PARAPHRASES=paraphrase-1to1.en
+    export METEOR_PARAPHRASES=paraphrase.en
     export METEOR_FUNCTION_WORDS=function.words.en
 
 activates the full four-stage pipeline (file formats documented in
@@ -21,10 +21,11 @@ Subcommands:
   synonyms [out]            WordNet -> one synset per line (needs the nltk
                             wordnet corpus: ``python -m nltk.downloader
                             wordnet`` on a connected machine).
-  paraphrases in.gz [out]   Filter the jar's paraphrase-en.gz (lines
-                            ``p1 ||| p2 [||| prob]``) to the single-word
-                            pairs the one-to-one aligner can use —
-                            typically ~100x smaller and loads instantly.
+  paraphrases in.gz [out]   Normalize the jar's paraphrase-en.gz (lines
+                            ``p1 ||| p2 [||| prob]``): lowercase, dedupe
+                            directions, drop prob fields. Multi-word
+                            entries are KEPT — the aligner matches phrase
+                            blocks like the jar.
   function-words in [out]   Normalize a function-word list (e.g. the jar's
                             ``function.words.english`` resource): lowercase,
                             dedupe, sorted, #-comments stripped.
@@ -67,12 +68,13 @@ def export_synonyms(out_path: str) -> int:
 
 
 def export_paraphrases(in_path: str, out_path: str) -> int:
-    """Shrink a METEOR paraphrase table to its single-word pairs.
+    """Normalize a METEOR paraphrase table (single- AND multi-word).
 
-    The jar aligns multi-word phrase blocks; the one-to-one word aligner
-    here uses only word<->word entries (metrics/meteor.py documents the
-    residual underestimate), so pre-filtering removes the load-time cost
-    and the per-run skipped-entries warning."""
+    The aligner matches phrase blocks like the jar (metrics/meteor.py
+    align_phrases), so every entry is kept; this pass lowercases,
+    collapses whitespace, drops probability fields and self-pairs, and
+    dedupes the two directions the jar's table lists — roughly halving
+    the file and removing per-run normalization cost."""
     import gzip
     opener = gzip.open if in_path.endswith(".gz") else open
     pairs = set()
@@ -81,13 +83,14 @@ def export_paraphrases(in_path: str, out_path: str) -> int:
             fields = [x.strip() for x in ln.split("|||")]
             if len(fields) < 2:
                 continue
-            a, b = fields[0].lower(), fields[1].lower()
-            if len(a.split()) == 1 and len(b.split()) == 1 and a != b:
+            a = " ".join(fields[0].lower().split())
+            b = " ".join(fields[1].lower().split())
+            if a and b and a != b:
                 pairs.add((min(a, b), max(a, b)))
     with open(out_path, "w", encoding="utf-8") as f:
         for a, b in sorted(pairs):
             f.write(f"{a} ||| {b}\n")
-    print(f"wrote {len(pairs)} single-word paraphrase pairs to {out_path}")
+    print(f"wrote {len(pairs)} paraphrase pairs to {out_path}")
     return 0
 
 
@@ -117,7 +120,7 @@ def main(argv=None) -> int:
         return export_synonyms(args[0] if args else "synonyms.en")
     if cmd == "paraphrases" and args:
         return export_paraphrases(args[0], args[1] if len(args) > 1
-                                  else "paraphrase-1to1.en")
+                                  else "paraphrase.en")
     if cmd == "function-words" and args:
         return export_function_words(args[0], args[1] if len(args) > 1
                                      else "function.words.en")
