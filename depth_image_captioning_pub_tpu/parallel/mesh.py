@@ -84,6 +84,14 @@ def assert_partitioned(x, dim: int, ways: int, label: str = "") -> None:
     device must hold exactly ``global/ways`` of ``dim``, i.e. 1/ways of the
     memory, which is the point of tp/pp/sp (VERDICT r3 weak #2).
     """
+    if x.shape[dim] % ways != 0:
+        # Distinguish "not divisible" (GSPMD would pad shard extents to
+        # ceil, making a floor-division check misleading — ADVICE r4)
+        # from "not partitioned": an indivisible claim is a test bug.
+        raise AssertionError(
+            f"{label or 'array'} dim {dim} extent {x.shape[dim]} is not "
+            f"divisible by ways={ways}; pick a divisible extent so the "
+            f"partition check is meaningful")
     expect = x.shape[dim] // ways
     got = {tuple(s.data.shape) for s in x.addressable_shards}
     bad = [g for g in got if g[dim] != expect]

@@ -63,12 +63,35 @@ class _Job:
 class _ReloadJob:
     """Control job (POST /reload): executed by the device-owning worker
     BETWEEN caption batches, so the weight swap never races a device call
-    — the queue itself is the synchronization."""
-    __slots__ = ("event", "error")
+    — the queue itself is the synchronization.
+
+    A timed-out caller CANCELS the job (ADVICE r4): the worker claims a
+    job before running it, the caller's timeout cancels it if still
+    pending, and exactly one side wins the state transition — so a
+    TimeoutError means either "no swap will happen" (cancelled) or
+    "the swap is mid-flight and may still land" (already claimed), and
+    the exception message says which."""
+    __slots__ = ("event", "error", "_lock", "_state")
 
     def __init__(self):
         self.event = threading.Event()
         self.error: Optional[str] = None
+        self._lock = threading.Lock()
+        self._state = "pending"    # -> "running" (worker) | "cancelled"
+
+    def try_claim(self) -> bool:
+        with self._lock:
+            if self._state == "pending":
+                self._state = "running"
+                return True
+            return False
+
+    def try_cancel(self) -> bool:
+        with self._lock:
+            if self._state == "pending":
+                self._state = "cancelled"
+                return True
+            return False
 
 
 class CaptionService:
@@ -143,6 +166,9 @@ class CaptionService:
             reloads = [j for j in jobs if isinstance(j, _ReloadJob)]
             jobs = [j for j in jobs if not isinstance(j, _ReloadJob)]
             for r in reloads:
+                if not r.try_claim():    # caller timed out and cancelled
+                    r.event.set()
+                    continue
                 try:
                     self.pipeline.reload_from_experiment()
                     self.reloads_done += 1
@@ -194,7 +220,13 @@ class CaptionService:
         job = _ReloadJob()
         self.queue.put(job)
         if not job.event.wait(timeout):
-            raise TimeoutError("reload timed out")
+            if job.try_cancel():
+                raise TimeoutError(
+                    "reload timed out while queued; cancelled — "
+                    "no weight swap will occur")
+            raise TimeoutError(
+                "reload timed out mid-swap; the new weights may still "
+                "land (check /metrics reloads_done)")
         if job.error:
             raise RuntimeError(job.error)
 
@@ -242,6 +274,12 @@ def _decode_bytes(data: bytes, hw: Tuple[int, int]) -> np.ndarray:
 
 def make_handler(service: CaptionService):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1: persistent connections (every _reply sends
+        # Content-Length, so keep-alive framing is always valid). Saves a
+        # TCP handshake per request for looping clients; requires every
+        # request body to be drained before replying (see /reload).
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):  # quiet by default
             pass
 
@@ -268,8 +306,18 @@ def make_handler(service: CaptionService):
             if self.path == "/reload":
                 # hot checkpoint reload: re-read the experiment's files and
                 # swap weights on the worker thread (zero recompilation —
-                # shapes unchanged; serving continues after the swap)
+                # shapes unchanged; serving continues after the swap).
+                # Drain any request body first (ADVICE r4): replying
+                # without consuming it would desync later requests on a
+                # keep-alive connection.
                 try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    if n > MAX_REQUEST_BYTES:
+                        self._reply(413, {"error": f"payload {n} bytes "
+                                          f"exceeds {MAX_REQUEST_BYTES}"})
+                        return
+                    if n:
+                        self.rfile.read(n)
                     service.reload()
                     self._reply(200, {"reloaded": True,
                                       "reloads_done": service.reloads_done})

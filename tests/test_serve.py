@@ -271,6 +271,91 @@ def test_stop_drains_backlog_beyond_one_batch():
     assert not svc.worker.is_alive()
 
 
+def test_reload_timeout_cancels_queued_job():
+    """A reload that times out while still QUEUED is cancelled: the worker
+    skips it (no late surprise swap, ADVICE r4) and the error says no swap
+    will occur."""
+    import time
+    from depth_image_captioning_pub_tpu.serve import CaptionService, _Job
+
+    class StubPipeline:
+        batch_size = 4
+        image_hw = (4, 4)
+        id_to_word = {0: "ok", 1: "<end>"}
+        reload_calls = 0
+
+        def caption_tokens(self, arrays):
+            time.sleep(0.6)           # keep the worker busy past the timeout
+            return np.zeros((arrays.shape[0], 3), np.int32)
+
+        def reload_from_experiment(self):
+            StubPipeline.reload_calls += 1
+
+    svc = CaptionService(StubPipeline(), batch_window_ms=5.0)
+    j = _Job(np.zeros((4, 4, 3), np.uint8))
+    svc.queue.put(j)                  # occupies the worker for ~0.6s
+    time.sleep(0.15)                  # let the worker start the batch
+    with pytest.raises(TimeoutError, match="no weight swap"):
+        svc.reload(timeout=0.05)      # queued behind the busy batch
+    assert j.event.wait(5.0)
+    time.sleep(0.3)                   # worker drains the cancelled job
+    assert svc.reloads_done == 0
+    assert StubPipeline.reload_calls == 0
+    svc.stop()
+
+
+def test_reload_timeout_midswap_says_so():
+    """A reload that times out while RUNNING cannot be cancelled — the
+    error must say the swap may still land, and it does land."""
+    import time
+    from depth_image_captioning_pub_tpu.serve import CaptionService
+
+    class StubPipeline:
+        batch_size = 4
+        image_hw = (4, 4)
+        id_to_word = {0: "ok", 1: "<end>"}
+
+        def caption_tokens(self, arrays):
+            return np.zeros((arrays.shape[0], 3), np.int32)
+
+        def reload_from_experiment(self):
+            time.sleep(0.4)           # slower than the caller's timeout
+
+    svc = CaptionService(StubPipeline(), batch_window_ms=5.0)
+    with pytest.raises(TimeoutError, match="may still land"):
+        svc.reload(timeout=0.05)      # claimed immediately (idle worker)
+    deadline = time.monotonic() + 5.0
+    while svc.reloads_done == 0 and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert svc.reloads_done == 1      # the in-flight swap completed
+    svc.stop()
+
+
+def test_reload_with_body_keeps_keepalive_in_sync(server):
+    """POST /reload with a non-empty body on a keep-alive connection: the
+    handler must drain the body before replying (ADVICE r4), or the next
+    request on the same socket desyncs."""
+    import http.client
+    httpd, _ = server
+    port = httpd.server_address[1]
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    try:
+        conn.request("POST", "/reload", body=b"x" * 4096,
+                     headers={"Content-Type": "application/octet-stream"})
+        r1 = conn.getresponse()
+        body1 = r1.read()
+        # tiny pipeline has no experiment dir -> refusal (500) is fine;
+        # what matters is the reply parses and the socket stays in sync
+        assert r1.status in (200, 500)
+        json.loads(body1)
+        conn.request("GET", "/healthz")
+        r2 = conn.getresponse()
+        assert r2.status == 200
+        assert json.loads(r2.read())["ok"] is True
+    finally:
+        conn.close()
+
+
 def test_bad_requests(server):
     httpd, _ = server
     port = httpd.server_address[1]
