@@ -187,3 +187,45 @@ def test_watchdog_thread_emits_on_overrun():
     assert p.returncode == 2
     assert b"watchdog" in err
     assert _last_json(out) == {"metric": "partial", "value": 7.0}
+
+
+def test_main_emits_full_key_contract(bench, monkeypatch, capsys):
+    """Round-5 artifact contract: with every measurement stubbed, main()'s
+    LAST JSON line must carry the full key set — headline + raw baseline
+    denominator + e2e_vs_baseline (the literal north-star ratio) + the
+    hard/NIC matrix keys + the disciplined serve keys (VERDICT r4 items
+    1/2/4)."""
+    monkeypatch.setenv("BENCH_WATCHDOG_S", "-1")   # no overrun ticker
+    monkeypatch.setattr(bench, "wait_for_chip", lambda *a, **k: None)
+    monkeypatch.setattr(bench, "bench_torch_cpu", lambda *a, **k: 2.0)
+    monkeypatch.setattr(bench, "bench_tpu",
+                        lambda: (4000.0, 11000.0, 16000.0, 0.43))
+    monkeypatch.setattr(bench, "bench_depth_tpu",
+                        lambda: (300.0, 3900.0, 317.0, 343.0, 0.44))
+    monkeypatch.setattr(bench, "bench_variants_tpu",
+                        lambda: {"hard": 3000.0, "nic": 8000.0})
+    monkeypatch.setattr(bench, "bench_beam_tpu", lambda: 2900.0)
+    monkeypatch.setattr(bench, "bench_train_tpu", lambda *a, **k: 2900.0)
+    monkeypatch.setattr(bench, "bench_e2e_tpu", lambda: (110.0, 255.0))
+    monkeypatch.setattr(bench, "bench_serve_tpu",
+                        lambda: {"p50_ms": 50.0, "caps_per_sec": 66.0,
+                                 "effective_batch": 12.4,
+                                 "windows": [60.1, 66.0]})
+    bench.main()
+    last = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for k in ("value", "unit", "vs_baseline", "baseline_captions_per_sec",
+              "cached_captions_per_sec", "cached_pallas_captions_per_sec",
+              "mfu_greedy", "depth_soft_captions_per_sec", "mfu_depth",
+              "hard_captions_per_sec", "nic_captions_per_sec",
+              "beam5_captions_per_sec", "train_images_per_sec", "mfu_train",
+              "depth_train_images_per_sec",
+              "train_feature_cache_images_per_sec", "e2e_captions_per_sec",
+              "e2e_vs_baseline", "serve_latency_p50_ms", "serve_caps_per_sec",
+              "serve_effective_batch", "serve_window_rates"):
+        assert k in last, k
+    assert last["baseline_captions_per_sec"] == 2.0
+    assert last["vs_baseline"] == pytest.approx(2000.0)
+    assert last["e2e_vs_baseline"] == pytest.approx(55.0)
+    assert last["hard_captions_per_sec"] == 3000.0
+    assert last["nic_captions_per_sec"] == 8000.0
+    assert last["serve_window_rates"] == [60.1, 66.0]
