@@ -20,7 +20,12 @@ the worked-example fixture in tests/test_meteor_fixture.py).
 Subcommands:
   synonyms [out]            WordNet -> one synset per line (needs the nltk
                             wordnet corpus: ``python -m nltk.downloader
-                            wordnet`` on a connected machine).
+                            wordnet`` on a connected machine). NOTE: the
+                            build environment has no WordNet corpus and no
+                            network, so this branch is exercised in tests
+                            only against a stub WordNet
+                            (tests/test_meteor_fixture.py) — run it once
+                            on a connected machine to validate locally.
   paraphrases in.gz [out]   Normalize the jar's paraphrase-en.gz (lines
                             ``p1 ||| p2 [||| prob]``): lowercase, dedupe
                             directions, drop prob fields. Multi-word
