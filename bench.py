@@ -207,16 +207,26 @@ def bench_tpu():
     for f in feats:  # compile + force transfers
         np.asarray(fn({}, params, stats, None, key, feats=f))
 
+    cached_agree = [None]
+
     def run_cached():
         t0 = time.perf_counter()
         outs = [fn({}, params, stats, None, key, feats=feats[i % n_stage])
                 for i in range(n_batches)]
         tokens_c = np.asarray(jnp.concatenate(outs, axis=0))
         dt = time.perf_counter() - t0
-        assert np.array_equal(tokens_c, tokens)  # the cache is exact
+        # With bf16-resident features (models/decoder.FEATURES_RESIDENT)
+        # the decoder-only program's dot decomposition differs at the ulp
+        # level from the full program's on TPU, flipping ~0.1% of tokens
+        # on random-weight near-ties; assert the agreement floor and
+        # record the measured value in the JSON.
+        agree = float(np.mean(tokens_c == tokens))
+        cached_agree[0] = agree
+        assert agree >= 0.995, f"cached tokens diverged: {agree:.4%}"
         return N_IMAGES / dt
 
     cached_rate = stable_rate(run_cached, "base-soft-cached")
+    RESULT["cached_token_agreement"] = round(cached_agree[0], 5)
 
     # cached + --pallas-decode: on the decoder-only cached program the
     # whole-sequence kernel's 1.9x decode win finally surfaces end to end

@@ -26,6 +26,7 @@ active batch (base_caption_models.py:128-150):
 
 from __future__ import annotations
 
+import os
 from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
@@ -40,6 +41,23 @@ from depth_image_captioning_pub_tpu.ops.attention import (
 from depth_image_captioning_pub_tpu.ops.lstm import LSTMCellParams, lstm_cell
 
 Dtype = Any
+
+# Keep bf16 encoder features bf16-RESIDENT through the f32 decode/train
+# scans (see _fused_features): the bandwidth-bound per-step attention
+# reads of the [B,K,2048] tensor cost half the HBM bytes. The attention
+# ops upcast inside their einsums, so the arithmetic stays f32 on exactly
+# upcast bf16 values — bit-exact on CPU (pinned in tests); on TPU the
+# mixed-operand dot picks a different bf16-pass decomposition than the
+# all-f32 dot, an accumulation-order (ulp-level) difference in the same
+# class as XLA's own f32 emulation. Measured on chip (r5, random
+# weights): greedy full-pipeline and beam tokens 100.00% identical
+# on/off; the cached decoder-only program flips 0.1% of tokens on
+# near-ties. Wins: train step 1.24x, cached decode 1.77x, full greedy
+# pipeline 1.15x (tools/ab_feat_resident.py). Opt out with
+# DCAP_FEATURES_RESIDENT=0 (restores the materialized f32 copy).
+# Applies to the teacher-forced, greedy, stochastic, early-exit, and
+# beam XLA paths; the Pallas kernels keep their validated f32 layout.
+FEATURES_RESIDENT = (os.environ.get("DCAP_FEATURES_RESIDENT", "1") != "0")
 
 
 class DecoderState(NamedTuple):
@@ -96,9 +114,10 @@ class AttentionDecoder(nn.Module):
         """Weights cast to the compute dtype (mixed precision: params live
         in f32, matmuls run in self.dtype). f32 accumulation is requested
         where it matters most — the LSTM gates (ops/lstm.py) and the vocab
-        head below; the attention ops accumulate in the feature dtype
-        (A=128/K=196 reductions, bf16-tolerable) and softmax in f32.
-        Identity when dtype is f32 — the parity path is untouched."""
+        head below; the attention ops take the compute dtype explicitly
+        (features may be STORED narrower — see FEATURES_RESIDENT) and
+        softmax in f32. Identity when dtype is f32 — the parity path is
+        untouched."""
         return p.astype(self.dtype)
 
     def _att_params(self) -> AttentionParams:
@@ -123,10 +142,30 @@ class AttentionDecoder(nn.Module):
             return jnp.concatenate([features, depth_features], axis=-1)
         raise ValueError(f"unknown fusion {self.fusion!r}")
 
+    def _fused_features(self, features: jax.Array,
+                        depth_features: Optional[jax.Array]) -> jax.Array:
+        """Fused feature tensor in its scan-RESIDENT dtype.
+
+        With ``FEATURES_RESIDENT`` (default) and an f32 compute dtype, a
+        bf16 feature tensor is kept bf16 in HBM and the attention ops
+        upcast inside their einsums, halving the bandwidth-bound per-step
+        feature reads; see the module-level flag for the measured wins
+        and the exactness statement (CPU bit-exact; TPU ulp-level
+        accumulation-order difference). Opting out restores the
+        historical materialized compute-dtype copy.
+        """
+        f = self.fuse(features, depth_features)
+        if (FEATURES_RESIDENT and self.dtype == jnp.float32
+                and f.dtype == jnp.bfloat16):
+            return f
+        return f.astype(self.dtype)
+
     def init_state(self, features: jax.Array) -> DecoderState:
         """h0,c0 from Linear(mean(features)) chunked in two
-        (reference: base_caption_models.py:115-117)."""
-        mean = features.mean(axis=1)
+        (reference: base_caption_models.py:115-117). The mean accumulates
+        in the compute dtype (identical to the historical mean-of-upcast
+        when features are stored narrower)."""
+        mean = features.mean(axis=1, dtype=self.dtype)
         hc = mean @ self._w(self.init_w) + self._w(self.init_b)
         h, c = jnp.split(hc, 2, axis=-1)
         return DecoderState(h, c)
@@ -135,11 +174,14 @@ class AttentionDecoder(nn.Module):
                 temp, key):
         ap = self._att_params()
         if self.attention_kind == "soft":
-            return soft_attention(ap, features, features_proj, h)
+            return soft_attention(ap, features, features_proj, h,
+                                  compute_dtype=self.dtype)
         if train:
             return gumbel_softmax_attention(ap, features, features_proj, h,
-                                            temp, key)
-        return gumbel_max_attention(ap, features, features_proj, h, key)
+                                            temp, key,
+                                            compute_dtype=self.dtype)
+        return gumbel_max_attention(ap, features, features_proj, h, key,
+                                    compute_dtype=self.dtype)
 
     def _step(self, state: DecoderState, emb_t: jax.Array, features,
               features_proj, *, train: bool, temp, key,
@@ -184,8 +226,9 @@ class AttentionDecoder(nn.Module):
         by the reference's hard-attention validation pass (``eval_forward``,
         base_caption_models.py:365-414).
         """
-        features = self.fuse(features, depth_features).astype(self.dtype)
-        features_proj = project_features(self._att_params(), features)
+        features = self._fused_features(features, depth_features)
+        features_proj = project_features(self._att_params(), features,
+                                         compute_dtype=self.dtype)
         state = self.init_state(features)
         emb = jnp.take(self._w(self.embed), captions, axis=0)  # [B, L, E]
         emb_steps = jnp.swapaxes(emb[:, :-1, :], 0, 1)    # [L-1, B, E]
@@ -255,8 +298,9 @@ class AttentionDecoder(nn.Module):
             return self._greedy_sample_early_exit(
                 features, start_id, end_id, depth_features,
                 max_length=max_length, rng=rng)
-        features = self.fuse(features, depth_features).astype(self.dtype)
-        features_proj = project_features(self._att_params(), features)
+        features = self._fused_features(features, depth_features)
+        features_proj = project_features(self._att_params(), features,
+                                         compute_dtype=self.dtype)
         state = self.init_state(features)
         bsz = features.shape[0]
         prev = jnp.full((bsz,), start_id, dtype=jnp.int32)
@@ -297,8 +341,9 @@ class AttentionDecoder(nn.Module):
         ``rng``; temperature -> 0 (or top_k=1) reproduces greedy argmax.
         Returns (tokens [B, max_length], alphas [B, max_length, K])."""
         from depth_image_captioning_pub_tpu.ops.decode import filtered_logits
-        features = self.fuse(features, depth_features).astype(self.dtype)
-        features_proj = project_features(self._att_params(), features)
+        features = self._fused_features(features, depth_features)
+        features_proj = project_features(self._att_params(), features,
+                                         compute_dtype=self.dtype)
         state = self.init_state(features)
         bsz = features.shape[0]
         prev = jnp.full((bsz,), start_id, dtype=jnp.int32)
@@ -327,8 +372,9 @@ class AttentionDecoder(nn.Module):
                                   rng: Optional[jax.Array]
                                   ) -> Tuple[jax.Array, jax.Array]:
         """Greedy decode in a while_loop that stops when all beams finish."""
-        features = self.fuse(features, depth_features).astype(self.dtype)
-        features_proj = project_features(self._att_params(), features)
+        features = self._fused_features(features, depth_features)
+        features_proj = project_features(self._att_params(), features,
+                                         compute_dtype=self.dtype)
         state = self.init_state(features)
         bsz, k = features.shape[0], features.shape[1]
         if rng is None:
@@ -393,8 +439,11 @@ class AttentionDecoder(nn.Module):
             raise ValueError("pallas decode requires a float32 decoder "
                              f"(got dtype={self.dtype})")
         interpret = jax.default_backend() == "cpu"
+        # Pallas kernels keep their validated f32 feature layout (the
+        # kernel is VMEM-resident anyway, so storage residency buys nothing)
         features = self.fuse(features, depth_features).astype(self.dtype)
-        features_proj = project_features(self._att_params(), features)
+        features_proj = project_features(self._att_params(), features,
+                                         compute_dtype=self.dtype)
         state = self.init_state(features)
         sw = pack_weights(self.att_w_dec, self.att_b_dec,
                           self.att_w_full[:, 0], self.att_b_full[0],
@@ -453,8 +502,9 @@ class AttentionDecoder(nn.Module):
                 beam_size=beam_size, max_length=max_length,
                 length_penalty=length_penalty, mesh=pallas_mesh)
 
-        features = self.fuse(features, depth_features).astype(self.dtype)
-        features_proj = project_features(self._att_params(), features)
+        features = self._fused_features(features, depth_features)
+        features_proj = project_features(self._att_params(), features,
+                                         compute_dtype=self.dtype)
         state0 = self.init_state(features)
         batch = features.shape[0]
         w_beams = beam_size
@@ -481,11 +531,14 @@ class AttentionDecoder(nn.Module):
                 g = jax.random.gumbel(key, e.shape, dtype=jnp.float32)
                 pos = jnp.argmax(e + g, axis=-1)                 # [B, W]
                 alpha = jax.nn.one_hot(pos, e.shape[-1],
-                                       dtype=features.dtype)
+                                       dtype=self.dtype)
             else:
-                alpha = jax.nn.softmax(e, axis=-1).astype(features.dtype)
+                alpha = jax.nn.softmax(e, axis=-1).astype(self.dtype)
+            # compute dtype (not the storage dtype): with bf16-resident
+            # features the einsum upcasts inside — same f32 math, half the
+            # HBM reads (see _fused_features)
             ctx = jnp.einsum("bwk,bkd->bwd", alpha, features,
-                             preferred_element_type=features.dtype)
+                             preferred_element_type=self.dtype)
             return ctx.reshape(batch * w_beams, -1)
 
         def step_fn(state, prev, t):
@@ -525,8 +578,11 @@ class AttentionDecoder(nn.Module):
             raise ValueError("pallas beam decode requires a float32 decoder "
                              f"(got dtype={self.dtype})")
         interpret = jax.default_backend() == "cpu"
+        # Pallas kernels keep their validated f32 feature layout (see
+        # _greedy_sample_pallas)
         features = self.fuse(features, depth_features).astype(self.dtype)
-        features_proj = project_features(self._att_params(), features)
+        features_proj = project_features(self._att_params(), features,
+                                         compute_dtype=self.dtype)
         state = self.init_state(features)
         sw = pack_weights(self.att_w_dec, self.att_b_dec,
                           self.att_w_full[:, 0], self.att_b_full[0],

@@ -33,10 +33,20 @@ class AttentionParams(NamedTuple):
     b_full: jax.Array  # []      full_att.bias
 
 
-def project_features(p: AttentionParams, features: jax.Array) -> jax.Array:
-    """Precompute W_z·z + b_z once per image: [B,K,D] -> [B,K,A]."""
+def project_features(p: AttentionParams, features: jax.Array,
+                     compute_dtype=None) -> jax.Array:
+    """Precompute W_z·z + b_z once per image: [B,K,D] -> [B,K,A].
+
+    ``compute_dtype`` (default: the feature dtype) is the arithmetic/output
+    dtype. It matters when the caller keeps the feature tensor in a
+    narrower STORAGE dtype (bf16) than the compute dtype (f32): the upcast
+    happens inside this op (exact values; TPU dot decomposition may differ
+    at the ulp level from projecting a materialized f32 copy — see
+    :func:`soft_attention`). Runs once per image, outside the scan.
+    """
+    cd = compute_dtype or features.dtype
     return jnp.einsum("bkd,da->bka", features, p.w_enc,
-                      preferred_element_type=features.dtype) + p.b_enc
+                      preferred_element_type=cd) + p.b_enc
 
 
 def attention_logits(p: AttentionParams, features_proj: jax.Array,
@@ -49,43 +59,58 @@ def attention_logits(p: AttentionParams, features_proj: jax.Array,
 
 
 def soft_attention(p: AttentionParams, features: jax.Array,
-                   features_proj: jax.Array,
-                   hidden: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Soft attention context + weights (reference: attention.py:81-95)."""
+                   features_proj: jax.Array, hidden: jax.Array,
+                   compute_dtype=None) -> Tuple[jax.Array, jax.Array]:
+    """Soft attention context + weights (reference: attention.py:81-95).
+
+    ``compute_dtype`` defaults to the feature dtype (the historical
+    behavior); pass f32 with bf16-STORED features to read half the HBM
+    bytes per step while keeping f32 alpha/context arithmetic on exactly
+    upcast values (bit-identical to an f32 feature copy on CPU; on TPU
+    the mixed dot's bf16-pass decomposition differs at the ulp level —
+    see models/decoder.FEATURES_RESIDENT for the measured numbers).
+    """
+    cd = compute_dtype or features.dtype
     logits = attention_logits(p, features_proj, hidden)
     alpha = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
-    alpha = alpha.astype(features.dtype)
+    alpha = alpha.astype(cd)
     context = jnp.einsum("bk,bkd->bd", alpha, features,
-                         preferred_element_type=features.dtype)
+                         preferred_element_type=cd)
     return context, alpha
 
 
 def gumbel_softmax_attention(p: AttentionParams, features: jax.Array,
                              features_proj: jax.Array, hidden: jax.Array,
-                             temp: jax.Array,
-                             key: jax.Array) -> Tuple[jax.Array, jax.Array]:
+                             temp: jax.Array, key: jax.Array,
+                             compute_dtype=None) -> Tuple[jax.Array, jax.Array]:
     """Hard attention, training path: Gumbel-softmax relaxation with scheduled
     temperature (reference: attention.py:132-148; noise g=-log(-log U) at
-    attention.py:17-18 == standard Gumbel(0,1))."""
+    attention.py:17-18 == standard Gumbel(0,1)). ``compute_dtype``: see
+    :func:`soft_attention`."""
+    cd = compute_dtype or features.dtype
     logits = attention_logits(p, features_proj, hidden)
     g = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
     alpha = jax.nn.softmax((logits.astype(jnp.float32) + g) / temp, axis=1)
-    alpha = alpha.astype(features.dtype)
+    alpha = alpha.astype(cd)
     context = jnp.einsum("bk,bkd->bd", alpha, features,
-                         preferred_element_type=features.dtype)
+                         preferred_element_type=cd)
     return context, alpha
 
 
 def gumbel_max_attention(p: AttentionParams, features: jax.Array,
                          features_proj: jax.Array, hidden: jax.Array,
-                         key: jax.Array) -> Tuple[jax.Array, jax.Array]:
+                         key: jax.Array,
+                         compute_dtype=None) -> Tuple[jax.Array, jax.Array]:
     """Hard attention, eval/inference path: Gumbel-max one-hot sample
-    (reference: attention.py:150-167 ``Hard_sample`` / ``Gumbel_maxtrick``)."""
+    (reference: attention.py:150-167 ``Hard_sample`` / ``Gumbel_maxtrick``).
+    ``compute_dtype``: see :func:`soft_attention` (the gather's upcast is
+    trivially exact)."""
+    cd = compute_dtype or features.dtype
     logits = attention_logits(p, features_proj, hidden)
     g = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
     pos = jnp.argmax(logits.astype(jnp.float32) + g, axis=1)
-    alpha = jax.nn.one_hot(pos, logits.shape[1], dtype=features.dtype)
+    alpha = jax.nn.one_hot(pos, logits.shape[1], dtype=cd)
     # One-hot weighted sum == gather of the selected region's feature row.
     context = jnp.take_along_axis(features, pos[:, None, None], axis=1)
-    context = context[:, 0, :]
+    context = context[:, 0, :].astype(cd)
     return context, alpha
