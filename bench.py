@@ -914,12 +914,15 @@ def main():
         RESULT["serve_effective_batch"] = round(srv["effective_batch"], 1)
         RESULT["serve_window_rates"] = srv["windows"]
 
+    # Order = decreasing artifact value under a tight budget: beam last
+    # (its number moves least round to round), serve/e2e before it (the
+    # r4-verdict auditability keys live there).
     run_segment("depth-soft", 600, seg_depth)
     run_segment("variants", 260, seg_variants)
-    run_segment("beam", 200, seg_beam)
     run_segment("train", 500, seg_train)
     run_segment("e2e", 400, seg_e2e)
     run_segment("serve", 320, seg_serve)
+    run_segment("beam", 200, seg_beam)
     emit()  # final (possibly identical) line; the driver parses the last
 
 

@@ -193,8 +193,9 @@ def main():
             f"{n}={best[n] * 1e3:.1f}ms" for n, _ in progs), flush=True)
 
     def row(name, ms, fl, by):
-        tf = fl / ms / 1e9 if np.isfinite(fl) else float("nan")
-        gbs = by / ms / 1e6 if np.isfinite(by) else float("nan")
+        # `ms` is actually seconds-per-step; the *1e3 below renders ms
+        tf = fl / ms / 1e12 if np.isfinite(fl) else float("nan")
+        gbs = by / ms / 1e9 if np.isfinite(by) else float("nan")
         print(f"{name:<22s} {ms * 1e3:7.2f} ms  "
               f"{BATCH / ms:8.0f} imgs/s  "
               f"{fl / 1e12:6.2f} TF  {tf:6.1f} TF/s "
