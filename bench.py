@@ -327,16 +327,26 @@ def bench_depth_tpu(n_images: int = 512, batch: int = 64):
     for s, d in zip(staged, dmaps):  # compile + force transfers
         np.asarray(fn(frozen_nodpt, params, stats, s, key, d))
 
+    depth_cached_agree = [None]
+
     def run_cached():
         t0 = time.perf_counter()
         outs = [fn(frozen_nodpt, params, stats, staged[i % n_stage], key,
                    dmaps[i % n_stage]) for i in range(n_batches)]
         tokens_c = np.asarray(jnp.concatenate(outs, axis=0))
         dt = time.perf_counter() - t0
-        assert np.array_equal(tokens_c, tokens)  # the cache is exact
+        # The depth CNN encoder runs bf16, so add-fusion keeps the fused
+        # features bf16-RESIDENT (models/decoder.FEATURES_RESIDENT): the
+        # DPT-free cached program's dot decomposition can differ at the
+        # ulp level from the full program's — agreement floor, value in
+        # the JSON (same treatment as the base cached segment).
+        agree = float(np.mean(tokens_c == tokens))
+        depth_cached_agree[0] = agree
+        assert agree >= 0.995, f"depth cached tokens diverged: {agree:.4%}"
         return n_batches * batch / dt
 
     cached_rate = stable_rate(run_cached, "depth-soft-cached")
+    RESULT["depth_cached_token_agreement"] = round(depth_cached_agree[0], 5)
 
     # throughput-knob rates: the SAME full pipeline under each opt-in
     # approximation knob (read at trace time, so each needs a fresh
@@ -784,7 +794,9 @@ def run_segment(label: str, est_s: float, fn) -> None:
     try:
         fn()
     except Exception as e:
-        print(f"{label} bench failed: {e}", file=sys.stderr)
+        import traceback
+        print(f"{label} bench failed: {e!r}", file=sys.stderr)
+        traceback.print_exc()
     emit()
 
 

@@ -53,10 +53,13 @@ Dtype = Any
 # weights): greedy full-pipeline and beam tokens 100.00% identical
 # on/off; the cached decoder-only program flips 0.1% of tokens on
 # near-ties. Wins: train step 1.24x, cached decode 1.77x, full greedy
-# pipeline 1.15x (tools/ab_feat_resident.py). Opt out with
-# DCAP_FEATURES_RESIDENT=0 (restores the materialized f32 copy).
-# Applies to the teacher-forced, greedy, stochastic, early-exit, and
-# beam XLA paths; the Pallas kernels keep their validated f32 layout.
+# pipeline 1.15x, depth-soft train ~1.36x (tools/ab_feat_resident.py +
+# BENCH r5). Opt out with DCAP_FEATURES_RESIDENT=0 (restores the
+# materialized f32 copy). Applies to the teacher-forced, greedy,
+# stochastic, early-exit, and beam XLA paths; the Pallas kernels keep
+# their validated f32 layout. Depth variants: the CNN depth encoder runs
+# bf16, so add-fusion stays bf16 and is resident too; the f32 MLP
+# variant's concat promotes to f32 (not resident).
 FEATURES_RESIDENT = (os.environ.get("DCAP_FEATURES_RESIDENT", "1") != "0")
 
 

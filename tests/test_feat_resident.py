@@ -68,12 +68,16 @@ def test_resident_keeps_bf16_storage_dtype(flag_restore):
                                  None).dtype == jnp.float32
 
 
-def test_depth_fusion_promotes_to_f32(flag_restore):
-    """add/concat fusion with f32 depth features promotes the fused tensor
-    to f32, so residency never changes the depth variants' math."""
+def test_depth_fusion_residency_by_dtype(flag_restore):
+    """Fusion residency follows dtype promotion: bf16 depth features (the
+    production CNN depth encoder runs bf16) keep add-fusion bf16-resident;
+    f32 depth features (the MLP variant) promote the fused tensor to f32
+    and residency is inert."""
     dm.FEATURES_RESIDENT = True
     dec, params, feats, _ = _mk(fusion="add")
     rng = np.random.default_rng(1)
-    depth = jnp.asarray(rng.standard_normal((3, 9, 16)), jnp.float32)
     bound = dec.bind(params)
-    assert bound._fused_features(feats, depth).dtype == jnp.float32
+    depth32 = jnp.asarray(rng.standard_normal((3, 9, 16)), jnp.float32)
+    assert bound._fused_features(feats, depth32).dtype == jnp.float32
+    depth16 = depth32.astype(jnp.bfloat16)
+    assert bound._fused_features(feats, depth16).dtype == jnp.bfloat16
