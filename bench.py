@@ -51,7 +51,11 @@ TRAIN_DEPTH_BATCH = 48   # r3 sweep: 32->1788 48->2190 64->2135 128->1810
 # partial result before exiting. The driver parses the LAST JSON line, so
 # every emission upgrades the previous one.
 T0 = time.monotonic()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "3000"))
+# 3600 (r5): the tail gained the variants segment and every segment's
+# incremental emission makes an overrun kill lose only the in-flight
+# segment — a tight budget that SKIPS tail segments costs strictly more
+# artifact than a generous one the driver may truncate.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "3600"))
 PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197.0"))  # v5e bf16
 RESULT = {}          # mutated in place by main(); emitted incrementally
 
