@@ -46,11 +46,18 @@ def test_resident_bit_exact_on_cpu(flag_restore, kind):
         toks, _ = dec.apply(params, feats, start_id=1,
                             method=dec.greedy_sample, max_length=5,
                             rng=jax.random.PRNGKey(3))
+        early, _ = dec.apply(params, feats, start_id=1,
+                             method=dec.greedy_sample, max_length=5,
+                             end_id=2, rng=jax.random.PRNGKey(3))
+        stoch, _ = dec.apply(params, feats, 1, jax.random.PRNGKey(5),
+                             method=dec.stochastic_sample, max_length=5,
+                             temperature=0.8, top_k=4)
         beam, _ = dec.apply(params, feats, start_id=1, end_id=2,
                             method=dec.beam_sample, beam_size=3,
                             max_length=5, rng=jax.random.PRNGKey(3))
         outs[flag] = (np.asarray(logits), np.asarray(alphas),
-                      np.asarray(toks), np.asarray(beam))
+                      np.asarray(toks), np.asarray(early),
+                      np.asarray(stoch), np.asarray(beam))
     for a, b in zip(outs[False], outs[True]):
         np.testing.assert_array_equal(a, b)
 
