@@ -176,3 +176,100 @@ def test_node_budget_exhaustion_falls_back_to_greedy(monkeypatch):
         assert hyp[h] == ref[r] and stage == 0  # every pair a real match
     # scoring still works through the public API
     assert 0.0 < m.meteor_pair(" ".join(hyp), " ".join(ref)) <= 1.0
+
+
+def test_phrase_alignment_optimal_vs_brute_force():
+    """Randomized cross-check of the PHRASE-BLOCK aligner: with a small
+    multi-word paraphrase table installed, enumerate EVERY valid set of
+    non-overlapping matches (word-level + phrase spans) and verify
+    align_phrases is optimal under the jar objective (max total covered
+    words, then min chunks, then min total start distance)."""
+    import itertools
+    import random
+
+    import depth_image_captioning_pub_tpu.metrics.meteor as m
+
+    m.set_meteor_data(m.MeteorData(paraphrases=frozenset({
+        frozenset(("b c", "x")), frozenset(("a", "y z")),
+        frozenset(("c", "w")),
+    })))
+    try:
+        def all_matches(hyp, ref):
+            cands = m._phrase_candidates(hyp, ref)
+            return [(i, hl, rj, rl, s)
+                    for i, row in enumerate(cands)
+                    for (hl, rj, rl, s) in row]
+
+        def chunks_of(sel):
+            sel = sorted(sel)
+            if not sel:
+                return 0
+            c = 1
+            for (h0, hl0, r0, rl0, _), (h1, _, r1, _, _) in zip(sel, sel[1:]):
+                if not (h1 == h0 + hl0 and r1 == r0 + rl0):
+                    c += 1
+            return c
+
+        def key_of(sel):
+            cov = sum(hl + rl for _, hl, _, rl, _ in sel)
+            dist = sum(abs(i - rj) for i, _, rj, _, _ in sel)
+            return (-cov, chunks_of(sel), dist)
+
+        def valid(sel, n_h, n_r):
+            used_h, used_r = set(), set()
+            for i, hl, rj, rl, _ in sel:
+                hs, rs = set(range(i, i + hl)), set(range(rj, rj + rl))
+                if used_h & hs or used_r & rs:
+                    return False
+                used_h |= hs
+                used_r |= rs
+            return True
+
+        def brute_best(hyp, ref):
+            ms = all_matches(hyp, ref)
+            best = None
+            for r in range(len(ms) + 1):
+                for combo in itertools.combinations(ms, r):
+                    if not valid(combo, len(hyp), len(ref)):
+                        continue
+                    k = key_of(list(combo))
+                    if best is None or k < best:
+                        best = k
+            return best
+
+        words = ["a", "b", "c", "w", "x", "y", "z"]
+        rnd = random.Random(1)
+        for _ in range(30):
+            hyp = [rnd.choice(words) for _ in range(rnd.randint(1, 4))]
+            ref = [rnd.choice(words) for _ in range(rnd.randint(1, 4))]
+            got = m.align_phrases(hyp, ref)
+            got_key = key_of(got)
+            expected = brute_best(hyp, ref)
+            if expected is None or expected == (0, 0, 0):
+                assert got == [] or got_key == expected, (hyp, ref)
+            else:
+                assert got_key == expected, (hyp, ref, got_key, expected)
+    finally:
+        m.set_meteor_data(None)
+
+
+def test_phrase_greedy_seed_under_budget_exhaustion(monkeypatch):
+    """Budget forced to ~zero with phrase candidates present: align_phrases
+    must still return a VALID non-overlapping alignment (the phrase-aware
+    greedy seed), never crash."""
+    import depth_image_captioning_pub_tpu.metrics.meteor as m
+
+    m.set_meteor_data(m.MeteorData(paraphrases=frozenset({
+        frozenset(("b c", "x"))})))
+    monkeypatch.setattr(m, "_NODE_BUDGET", 1)
+    try:
+        pairs = m.align_phrases("a b c a b c".split(), "a x a x".split())
+        assert pairs
+        used_h, used_r = set(), set()
+        for i, hl, rj, rl, _ in pairs:
+            hs, rs = set(range(i, i + hl)), set(range(rj, rj + rl))
+            assert not (used_h & hs) and not (used_r & rs)
+            used_h |= hs
+            used_r |= rs
+    finally:
+        m.set_meteor_data(None)
