@@ -2,7 +2,7 @@
 # Run the full test suite as sequential chunks that each fit a ~10-minute
 # window on a slow (1-core) rig. Rationale (STATUS.md): the 8-virtual-
 # device collective tests SIGABRT when starved >~40 s under host
-# contention, and the whole suite (353 tests) exceeds a single window —
+# contention, and the whole suite (355 tests) exceeds a single window —
 # so run chunks SOLO, never concurrently with other heavy processes.
 #
 # Usage: bash tools/run_suite_chunks.sh [extra pytest args...]
